@@ -1,0 +1,25 @@
+"""classifying_vae_lstm_tpu — a TPU-native JAX framework with the capabilities of
+`mobeets/classifying-vae-lstm`.
+
+Two model families (reference: /root/reference/README.md:3-9):
+
+* **Classifying VAE** (:mod:`.models.cl_vae`) — per-frame VAE over 88-pitch binary
+  piano-roll vectors with a discrete latent *key* class modeled as a Logistic-Normal
+  distribution (reference ``cl_vae/model.py:130-224``).
+* **Classifying VAE+LSTM** (:mod:`.models.cl_vrnn`) — STORN-style sequence model:
+  LSTM encoder -> per-timestep Gaussian latents -> LSTM decoder, plus the same
+  Logistic-Normal key latent (reference ``cl_vrnn/model.py:164-267``).
+
+Design stance (TPU-first, not a port):
+
+* all compute paths are pure functions over explicit parameter pytrees, compiled
+  with ``jax.jit`` — no graph surgery, no stateful submodels;
+* the time axis runs under ``jax.lax.scan`` (training BPTT and autoregressive
+  generation alike), with an optional Pallas fused-LSTM kernel in :mod:`.ops`;
+* whole epochs execute as a single device program (shuffle + minibatch scan),
+  eliminating the per-batch Python<->runtime crossing of the reference;
+* data parallelism is expressed with ``jax.sharding.Mesh`` + ``NamedSharding``;
+  XLA inserts the gradient all-reduce over ICI (:mod:`.parallel`).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,24 @@
+from .pianoroll import (
+    PianoData,
+    pianoroll_to_song,
+    relative_major,
+    rel_keys,
+    sliding_inds,
+    sliding_window,
+    song_to_pianoroll,
+    songs_to_pianoroll,
+)
+from .midi import MidiWriter, write_sample
+
+__all__ = [
+    "PianoData",
+    "MidiWriter",
+    "pianoroll_to_song",
+    "rel_keys",
+    "relative_major",
+    "sliding_inds",
+    "sliding_window",
+    "song_to_pianoroll",
+    "songs_to_pianoroll",
+    "write_sample",
+]

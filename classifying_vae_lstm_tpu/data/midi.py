@@ -1,0 +1,190 @@
+"""MIDI output: binary piano-roll -> Standard MIDI File.
+
+Re-implements the reference's MIDI path (``utils/midi_utils.py:1-104``, itself
+adapted from yoavz/music_rnn) without the Python-2-only ``midi`` package: we
+encode the SMF bytes directly. Event semantics match the reference exactly:
+
+* format-1 file with a meta track carrying a 4/4 time signature
+  (metronome 24, thirtyseconds 8) and one note track (reference :34-45);
+* per-frame NoteOn/NoteOff diffing against a ``notes_on`` state dict, pitch
+  offset +21, tick step 120, resolution 480, velocity 100 (reference :58-95);
+* the first event of a frame carries the accumulated tick delta, subsequent
+  events in the same frame carry 0 (the ``tick = self.note_off(...)``/``return 0``
+  dance at reference :18-24,77-88);
+* ``write_sample`` doubles the frame rate for JSB corpora via ``isHalfAsSlow``
+  and appends ``.mid`` (reference :100-104).
+
+A small parser (:func:`read_midi_roll`) is provided for round-trip testing; the
+reference has no equivalent (it had no tests at all, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+RANGE = 128
+
+
+def _vlq(value: int) -> bytes:
+    """Encode a variable-length quantity (SMF delta time)."""
+    if value < 0:
+        raise ValueError(f"negative delta time: {value}")
+    out = [value & 0x7F]
+    value >>= 7
+    while value:
+        out.append(0x80 | (value & 0x7F))
+        value >>= 7
+    return bytes(reversed(out))
+
+
+def _read_vlq(data: bytes, pos: int):
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return value, pos
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack(">I", len(payload)) + payload
+
+
+class MidiWriter:
+    """Dump a binary piano-roll sequence to a .mid file.
+
+    Mirrors the reference ``MidiWriter`` (``utils/midi_utils.py:11-98``).
+    """
+
+    def __init__(self, verbose: bool = False, default_vel: int = 100):
+        self.verbose = verbose
+        self.note_range = RANGE
+        self.default_velocity = default_vel
+
+    def _event(self, tick: int, status: int, *data: int) -> None:
+        self._track.append(_vlq(tick) + bytes([status, *data]))
+
+    def note_off(self, val: int, tick: int) -> int:
+        self._event(tick, 0x80, val, 0)
+        return 0
+
+    def note_on(self, val: int, tick: int) -> int:
+        self._event(tick, 0x90, val, self.default_velocity)
+        return 0
+
+    def dump_sequence_to_midi(
+        self,
+        seq,
+        output_filename,
+        time_step: int = 120,
+        resolution: int = 480,
+        metronome: int = 24,
+        offset: int = 21,
+        format: str = "final",
+    ) -> None:
+        if format == "icml":
+            # seq is a list of lists of active MIDI notes per timestep
+            sequence = np.zeros([len(seq), self.note_range])
+            for t, tmstp in enumerate(seq):
+                sequence[t, list(tmstp)] = 1
+        elif format == "flat":
+            sequence = np.reshape(seq, [-1, self.note_range])
+        else:
+            sequence = np.asarray(seq)
+
+        # meta track: 4/4 time signature + end of track
+        meta = _vlq(0) + bytes([0xFF, 0x58, 0x04, 4, 2, metronome, 8])
+        meta += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+
+        self._track: list[bytes] = []
+        tick = time_step
+        self.notes_on = {n: False for n in range(self.note_range)}
+        for frame in sequence:
+            notes = [int(n) + offset for n in np.nonzero(frame)[0]]
+            # NoteOffs first; the first event in the frame consumes the tick
+            for n in self.notes_on:
+                if self.notes_on[n] and n not in notes:
+                    tick = self.note_off(n, tick)
+                    self.notes_on[n] = False
+            for note in notes:
+                if not self.notes_on[note]:
+                    tick = self.note_on(note, tick)
+                    self.notes_on[note] = True
+            tick += time_step
+
+        # flush out notes still sounding
+        for n in self.notes_on:
+            if self.notes_on[n]:
+                self.note_off(n, tick)
+                tick = 0
+                self.notes_on[n] = False
+        self._track.append(_vlq(0) + bytes([0xFF, 0x2F, 0x00]))
+
+        header = _chunk(b"MThd", struct.pack(">HHH", 1, 2, resolution))
+        data = header + _chunk(b"MTrk", meta) + _chunk(b"MTrk", b"".join(self._track))
+        with open(output_filename, "wb") as f:
+            f.write(data)
+
+
+def write_sample(sample, outdir, fnm, isHalfAsSlow: bool = False) -> str:
+    """Write a generated roll as ``<outdir>/<fnm>.mid`` (reference :100-104)."""
+    sample = np.asarray(sample)
+    if isHalfAsSlow:
+        sample = np.repeat(sample, 2, axis=0)
+    path = os.path.join(outdir, fnm + ".mid")
+    MidiWriter().dump_sequence_to_midi(sample, path)
+    return path
+
+
+def read_midi_roll(path, time_step: int = 120, offset: int = 21, note_range: int = 88):
+    """Parse a .mid produced by :class:`MidiWriter` back into a binary roll.
+
+    Test-support utility (round-trip check); assumes the writer's fixed grid.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"MThd"
+    (ntracks,) = struct.unpack(">H", data[10:12])
+    pos = 8 + struct.unpack(">I", data[4:8])[0]
+    events = []  # (abs_tick, on/off, pitch)
+    for _ in range(ntracks):
+        assert data[pos : pos + 4] == b"MTrk"
+        (length,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        tpos, end = pos + 8, pos + 8 + length
+        abs_tick = 0
+        while tpos < end:
+            delta, tpos = _read_vlq(data, tpos)
+            abs_tick += delta
+            status = data[tpos]
+            if status == 0xFF:  # meta
+                mlen, mpos = _read_vlq(data, tpos + 2)
+                tpos = mpos + mlen
+            elif status in (0x80, 0x90):
+                pitch, vel = data[tpos + 1], data[tpos + 2]
+                on = status == 0x90 and vel > 0
+                events.append((abs_tick, on, pitch))
+                tpos += 3
+            else:
+                raise ValueError(f"unexpected status byte {status:#x}")
+        pos = end
+    if not events:
+        return np.zeros((0, note_range))
+    # The writer emits frame f's events at absolute tick (f+1)*time_step and a
+    # final flush of NoteOffs one frame past the end. Trailing silent frames are
+    # unrepresentable (same as the reference format).
+    by_frame: dict[int, list] = {}
+    for t, on, pitch in events:
+        by_frame.setdefault(t // time_step - 1, []).append((on, pitch))
+    last = max(by_frame)
+    n_frames = last if all(not on for on, _ in by_frame[last]) else last + 1
+    roll = np.zeros((n_frames, note_range))
+    state = np.zeros(note_range, dtype=bool)
+    for f in range(n_frames):
+        for on, pitch in by_frame.get(f, []):
+            state[pitch - offset] = on
+        roll[f] = state
+    return roll

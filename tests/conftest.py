@@ -1,0 +1,35 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Per SURVEY §4, this is the JAX fake-cluster idiom standing in for the fake
+backends the reference never had — the data-parallel sharding path is tested
+on 8 host devices without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/data/input")
+JSB_ALL = REFERENCE_DATA / "JSB Chorales_all.pickle"
+JSB_CS = REFERENCE_DATA / "JSB Chorales_Cs.pickle"
+
+
+@pytest.fixture(scope="session")
+def jsb_all_path():
+    if not JSB_ALL.exists():
+        pytest.skip("JSB Chorales_all.pickle not available")
+    return str(JSB_ALL)
+
+
+@pytest.fixture(scope="session")
+def jsb_cs_path():
+    if not JSB_CS.exists():
+        pytest.skip("JSB Chorales_Cs.pickle not available")
+    return str(JSB_CS)
