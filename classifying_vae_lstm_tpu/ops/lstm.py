@@ -1,0 +1,100 @@
+"""TPU-native LSTM: `lax.scan` over time with the input projection hoisted.
+
+The reference's LSTM is Keras's symbolic unroll (``cl_vrnn/model.py:196-199,
+225-228``). The TPU-first formulation here:
+
+* the input projection ``x @ W_k`` for ALL timesteps is computed as one large
+  ``[B*T, in] @ [in, 4H]`` matmul before the scan — this is where the FLOPs
+  are, and batching it keeps the MXU fed instead of issuing T skinny matmuls;
+* the scan body then does only the recurrent ``[B, H] @ [H, 4H]`` matmul plus
+  the fused elementwise gate block (XLA fuses these into a handful of kernels);
+* the same cell function serves training (scan) and autoregressive generation
+  (single step with explicit carried state), which fixes reference quirk Q3 by
+  construction — there are no separate stateful submodels whose weights could
+  be forgotten (``cl_vrnn/model.py:122-133``).
+
+Gate order and activations match Keras 2.0: (i, f, c, o), tanh activation,
+hard-sigmoid recurrent activation.
+
+An optional Pallas path (:mod:`.pallas_lstm`) runs the whole sequence in one
+kernel with h/c resident in VMEM; select with ``backend='pallas'``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.core import hard_sigmoid
+
+
+def _gates(z, c_prev, hidden_dim, recurrent_activation, activation):
+    i = recurrent_activation(z[..., :hidden_dim])
+    f = recurrent_activation(z[..., hidden_dim : 2 * hidden_dim])
+    g = activation(z[..., 2 * hidden_dim : 3 * hidden_dim])
+    o = recurrent_activation(z[..., 3 * hidden_dim :])
+    c = f * c_prev + i * g
+    h = o * activation(c)
+    return h, c
+
+
+def lstm_step(
+    params,
+    x,
+    h_prev,
+    c_prev,
+    recurrent_activation=hard_sigmoid,
+    activation=jnp.tanh,
+):
+    """One LSTM cell step: x [B, in], h/c [B, H] -> (h, c)."""
+    hidden_dim = h_prev.shape[-1]
+    z = (
+        jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32, precision="highest")
+        + jnp.dot(h_prev, params["recurrent_kernel"], preferred_element_type=jnp.float32, precision="highest")
+        + params["bias"]
+    )
+    return _gates(z, c_prev, hidden_dim, recurrent_activation, activation)
+
+
+def lstm_sequence(
+    params,
+    x,
+    h0=None,
+    c0=None,
+    recurrent_activation=hard_sigmoid,
+    activation=jnp.tanh,
+    backend: str = "xla",
+    unroll: int = 4,
+):
+    """Run an LSTM over a full sequence. x: [B, T, in] -> h_seq [B, T, H].
+
+    Returns ``(h_seq, (h_T, c_T))``. The input projection for all timesteps is
+    one batched matmul; the scan carries (h, c) and is unrolled ``unroll`` steps
+    to amortize loop overhead on TPU.
+    """
+    B, T, _ = x.shape
+    hidden_dim = params["recurrent_kernel"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((B, hidden_dim), x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((B, hidden_dim), x.dtype)
+
+    if backend == "pallas":
+        from .pallas_lstm import lstm_sequence_pallas
+
+        return lstm_sequence_pallas(params, x, h0, c0)
+
+    # Hoist the input projection: [B*T, in] @ [in, 4H] in one MXU pass.
+    xz = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32, precision="highest") + params["bias"]
+    xz_t = jnp.swapaxes(xz, 0, 1)  # time-major for the scan: [T, B, 4H]
+
+    rk = params["recurrent_kernel"]
+
+    def body(carry, xz_step):
+        h_prev, c_prev = carry
+        z = xz_step + jnp.dot(h_prev, rk, preferred_element_type=jnp.float32, precision="highest")
+        h, c = _gates(z, c_prev, hidden_dim, recurrent_activation, activation)
+        return (h, c), h
+
+    (h_T, c_T), h_seq = jax.lax.scan(body, (h0, c0), xz_t, unroll=unroll)
+    return jnp.swapaxes(h_seq, 0, 1), (h_T, c_T)

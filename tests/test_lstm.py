@@ -1,0 +1,69 @@
+"""LSTM op tests: scan vs single-step equivalence, Keras-semantics cell."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from classifying_vae_lstm_tpu.nn.core import hard_sigmoid, init_lstm
+from classifying_vae_lstm_tpu.ops import lstm_sequence, lstm_step
+
+
+def test_sequence_matches_stepwise():
+    key = jax.random.PRNGKey(0)
+    p = init_lstm(key, 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 7, 12))
+    h_seq, (h_T, c_T) = lstm_sequence(p, x)
+    h = jnp.zeros((3, 16))
+    c = jnp.zeros((3, 16))
+    for t in range(7):
+        h, c = lstm_step(p, x[:, t], h, c)
+        np.testing.assert_allclose(np.asarray(h_seq[:, t]), np.asarray(h), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_T), np.asarray(h), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_T), np.asarray(c), rtol=1e-5, atol=1e-6)
+
+
+def test_cell_oracle_numpy():
+    """One step against a NumPy transcription of the Keras LSTM cell."""
+    rng = np.random.default_rng(0)
+    in_dim, H = 5, 4
+    p = {
+        "kernel": jnp.array(rng.normal(size=(in_dim, 4 * H)).astype(np.float32)),
+        "recurrent_kernel": jnp.array(rng.normal(size=(H, 4 * H)).astype(np.float32)),
+        "bias": jnp.array(rng.normal(size=(4 * H,)).astype(np.float32)),
+    }
+    x = rng.normal(size=(2, in_dim)).astype(np.float32)
+    h0 = rng.normal(size=(2, H)).astype(np.float32)
+    c0 = rng.normal(size=(2, H)).astype(np.float32)
+    h, c = lstm_step(p, jnp.array(x), jnp.array(h0), jnp.array(c0))
+
+    z = x @ np.asarray(p["kernel"]) + h0 @ np.asarray(p["recurrent_kernel"]) + np.asarray(p["bias"])
+    hs = lambda v: np.clip(0.2 * v + 0.5, 0, 1)
+    i, f, g, o = z[:, :H], z[:, H : 2 * H], z[:, 2 * H : 3 * H], z[:, 3 * H :]
+    c_ref = hs(f) * c0 + hs(i) * np.tanh(g)
+    h_ref = hs(o) * np.tanh(c_ref)
+    np.testing.assert_allclose(np.asarray(c), c_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), h_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_initial_state_passthrough():
+    p = init_lstm(jax.random.PRNGKey(0), 6, 8)
+    x = jnp.zeros((2, 1, 6))
+    h0 = jnp.ones((2, 8))
+    c0 = 2 * jnp.ones((2, 8))
+    h_seq, _ = lstm_sequence(p, x, h0, c0)
+    h1, c1 = lstm_step(p, x[:, 0], h0, c0)
+    np.testing.assert_allclose(np.asarray(h_seq[:, 0]), np.asarray(h1), rtol=1e-5)
+
+
+def test_jit_and_grad():
+    p = init_lstm(jax.random.PRNGKey(0), 6, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 6))
+
+    @jax.jit
+    def loss(p, x):
+        h_seq, _ = lstm_sequence(p, x)
+        return jnp.sum(h_seq**2)
+
+    g = jax.grad(loss)(p, x)
+    assert g["kernel"].shape == p["kernel"].shape
+    assert float(jnp.abs(g["recurrent_kernel"]).max()) > 0

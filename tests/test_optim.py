@@ -1,0 +1,158 @@
+"""Weight-norm optimizer tests against a NumPy oracle of the reference math
+(utils/weightnorm.py:75-178, transcribed as formulas, not code)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from classifying_vae_lstm_tpu.optim import (
+    adam_with_weightnorm,
+    data_based_init,
+    init_optimizer,
+    keras_adam,
+    sgd_with_weightnorm,
+)
+
+
+def _oracle_adamwn_step(W, grad, st, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8):
+    """One reference AdamWithWeightnorm step on a rank-2 W, NumPy."""
+    t = st["t"] + 1
+    lr_t = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
+    scaler = st["v_scaler"]
+    V = W / scaler[None, :]
+    V_norm = np.sqrt((V**2).sum(0))
+    g_param = scaler * V_norm
+    grad_g = (grad * V).sum(0) / V_norm
+    grad_V = scaler[None, :] * (grad - (grad_g / V_norm)[None, :] * V)
+    m_g = b1 * st["m_g"] + (1 - b1) * grad_g
+    v_g = b2 * st["v_g"] + (1 - b2) * grad_g**2
+    new_g = g_param - lr_t * m_g / (np.sqrt(v_g) + eps)
+    m = b1 * st["m"] + (1 - b1) * grad_V
+    v = b2 * st["v"] + (1 - b2) * grad_V**2
+    new_V = V - lr_t * m / (np.sqrt(v) + eps)
+    new_norm = np.sqrt((new_V**2).sum(0))
+    new_scaler = new_g / new_norm
+    new_W = new_scaler[None, :] * new_V
+    return new_W, {"t": t, "m": m, "v": v, "m_g": m_g, "v_g": v_g, "v_scaler": new_scaler}
+
+
+def test_adamwn_matches_oracle_multi_step():
+    rng = np.random.default_rng(0)
+    W0 = rng.normal(size=(12, 7)).astype(np.float32)
+    b0 = rng.normal(size=(7,)).astype(np.float32)
+    params = {"layer": {"kernel": jnp.array(W0), "bias": jnp.array(b0)}}
+    opt = adam_with_weightnorm()
+    state = opt.init(params)
+
+    W = W0.astype(np.float64)
+    st = {
+        "t": 0,
+        "m": np.zeros_like(W),
+        "v": np.zeros_like(W),
+        "m_g": np.zeros(7),
+        "v_g": np.zeros(7),
+        "v_scaler": np.ones(7),
+    }
+    b = b0.astype(np.float64)
+    mb = np.zeros_like(b)
+    vb = np.zeros_like(b)
+    for step in range(5):
+        gW = rng.normal(size=W0.shape).astype(np.float32)
+        gb = rng.normal(size=b0.shape).astype(np.float32)
+        grads = {"layer": {"kernel": jnp.array(gW), "bias": jnp.array(gb)}}
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        # oracle
+        W, st = _oracle_adamwn_step(W, gW.astype(np.float64), st)
+        t = step + 1
+        lr_t = 1e-3 * np.sqrt(1 - 0.999**t) / (1 - 0.9**t)
+        mb = 0.9 * mb + 0.1 * gb
+        vb = 0.999 * vb + 0.001 * gb**2
+        b = b - lr_t * mb / (np.sqrt(vb) + 1e-8)
+        np.testing.assert_allclose(np.asarray(params["layer"]["kernel"]), W, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(params["layer"]["bias"]), b, rtol=2e-4, atol=1e-6)
+
+
+def test_adamwn_first_step_preserves_direction_scale():
+    # With V_scaler=1 the first step must equal plain g/V split math; sanity: a
+    # zero gradient produces a zero update.
+    params = {"k": jnp.ones((4, 3))}
+    opt = adam_with_weightnorm()
+    state = opt.init(params)
+    updates, _ = opt.update({"k": jnp.zeros((4, 3))}, state, params)
+    np.testing.assert_allclose(np.asarray(updates["k"]), 0.0, atol=1e-8)
+
+
+def test_sgdwn_plain_matches_sgd_for_rank1():
+    params = {"b": jnp.array([1.0, 2.0])}
+    opt = sgd_with_weightnorm(learning_rate=0.1)
+    state = opt.init(params)
+    updates, _ = opt.update({"b": jnp.array([1.0, -1.0])}, state, params)
+    np.testing.assert_allclose(np.asarray(updates["b"]), [-0.1, 0.1], rtol=1e-6)
+
+
+def test_sgdwn_rank2_reduces_loss():
+    # Weight-norm SGD should descend a simple quadratic in W.
+    rng = np.random.default_rng(1)
+    W = jnp.array(rng.normal(size=(6, 4)).astype(np.float32))
+    target = jnp.array(rng.normal(size=(6, 4)).astype(np.float32))
+    params = {"k": W}
+    opt = sgd_with_weightnorm(learning_rate=0.05, momentum=0.9)
+    state = opt.init(params)
+    loss = lambda p: 0.5 * jnp.sum((p["k"] - target) ** 2)
+    l0 = float(loss(params))
+    for _ in range(50):
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss(params)) < 0.1 * l0
+
+
+def test_keras_adam_bias_correction():
+    params = {"w": jnp.zeros((3,))}
+    opt = keras_adam(learning_rate=0.1)
+    state = opt.init(params)
+    g = {"w": jnp.ones((3,))}
+    updates, _ = opt.update(g, state, params)
+    # first step: lr_t*m/(sqrt(v)+eps) = 0.1*sqrt(1-b2)/(1-b1) * 0.1/(sqrt(0.001)+eps)
+    lr_t = 0.1 * np.sqrt(1 - 0.999) / (1 - 0.9)
+    expected = -lr_t * 0.1 / (np.sqrt(0.001) + 1e-8)
+    np.testing.assert_allclose(np.asarray(updates["w"]), expected, rtol=1e-5)
+
+
+def test_init_optimizer_names():
+    for name, wn in [("adam-wn", True), ("adam", False), ("rmsprop", False), ("sgd", False)]:
+        opt, was_wn = init_optimizer(name)
+        assert was_wn == wn
+        assert hasattr(opt, "update")
+
+
+def test_data_based_init():
+    rng = np.random.default_rng(0)
+    params = {"h": {"kernel": jnp.array(rng.normal(size=(10, 5)).astype(np.float32)),
+                    "bias": jnp.zeros(5)}}
+    x = rng.normal(size=(200, 10)).astype(np.float32)
+    pre = x @ np.asarray(params["h"]["kernel"]) + np.asarray(params["h"]["bias"])
+    new = data_based_init(params, {"h": jnp.array(pre)})
+    out = x @ np.asarray(new["h"]["kernel"]) + np.asarray(new["h"]["bias"])
+    np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(out.std(0), 1.0, atol=1e-2)
+
+
+def test_adamwn_weightnorm_invariant():
+    # after any number of steps, v_scaler must equal g/||V|| implicitly:
+    # reconstructing V = W/scaler then scaler*||V|| recovers a consistent g.
+    rng = np.random.default_rng(3)
+    params = {"k": jnp.array(rng.normal(size=(8, 5)).astype(np.float32))}
+    opt = adam_with_weightnorm()
+    state = opt.init(params)
+    for _ in range(3):
+        g = {"k": jnp.array(rng.normal(size=(8, 5)).astype(np.float32))}
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    W = np.asarray(params["k"])
+    scaler = np.asarray(state.v_scaler["k"])
+    V = W / scaler[None, :]
+    # by construction new_W = new_scaler * new_V, so W/scaler should have norm g/scaler
+    np.testing.assert_allclose(scaler * np.sqrt((V**2).sum(0)) / np.sqrt((V**2).sum(0)), scaler)
