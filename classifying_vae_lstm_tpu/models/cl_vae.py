@@ -1,0 +1,157 @@
+"""Classifying VAE: per-frame VAE with a Logistic-Normal key latent.
+
+TPU-native re-design of the reference graph (``cl_vae/model.py:130-224``):
+
+* one param pytree, pure ``init``/``apply``/``loss_and_metrics`` functions —
+  the reference's four-output Keras model, the ``w2 = w + 1e-10`` aliasing hack
+  (quirk Q8) and the sampling-time "model surgery"
+  (``make_w_encoder``/``make_z_encoder``/``make_decoder``,
+  ``cl_vae/model.py:76-128``) all collapse into plain function calls on
+  sub-pytrees;
+* anneal weights (``kl_weight``, ``w_kl_weight``) are traced scalars, so
+  annealing never recompiles (the reference mutates ``K.variable`` loss
+  weights, ``cl_vae/train.py:40-51``);
+* the whole forward + ELBO runs as a handful of fused MXU matmuls; batch is
+  the leading axis and shards over the data mesh axis (:mod:`..parallel`).
+
+Architecture (all Dense):
+  key encoder   x -> h_w(relu, class_dim_0) -> w_mean/w_log_var (K-1 each)
+  w ~ LogisticNormal(w_mean, w_log_var)                   [K-simplex]
+  latent encoder concat(x, w) -> [h(relu, latent_dim_0)] -> z_mean/z_log_var
+  z ~ N(z_mean, exp(z_log_var))
+  decoder  concat(w, [x_prev,] z) -> [decoder_h(relu)] -> sigmoid(x_mean)
+
+``latent_dim_0 == 0`` (aka ``--intermediate_dim 0``) skips the hidden layers,
+matching the reference's branches at ``cl_vae/model.py:161-167,183-188``.
+A vanilla (non-classifying) VAE — BASELINE.json config 2 — is this model with
+``n_classes == 1``: w collapses to the constant [1.0] simplex point and the
+w losses vanish; see :func:`loss_and_metrics`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import losses as L
+from ..nn.core import dense, init_dense
+from ..nn.distributions import sample_gaussian, sample_logistic_normal
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Model hyperparameters (mirrors the reference get_model signature)."""
+
+    original_dim: int = 88
+    intermediate_dim: int = 88  # latent_dim_0; 0 = no hidden layers
+    latent_dim: int = 2
+    intermediate_class_dim: int = 88  # class_dim_0
+    n_classes: int = 2  # class_dim (K)
+    use_x_prev: bool = False
+    w_log_var_prior: float = 0.0
+
+    @property
+    def has_hidden(self) -> bool:
+        return self.intermediate_dim > 0
+
+
+def init(key, cfg: Config) -> dict:
+    """Initialize the param pytree (layer names match the reference graph)."""
+    ks = jax.random.split(key, 8)
+    K1 = cfg.n_classes - 1
+    params = {
+        "h_w": init_dense(ks[0], cfg.original_dim, cfg.intermediate_class_dim),
+        "w_mean": init_dense(ks[1], cfg.intermediate_class_dim, K1),
+        "w_log_var": init_dense(ks[2], cfg.intermediate_class_dim, K1),
+    }
+    enc_in = cfg.original_dim + cfg.n_classes
+    if cfg.has_hidden:
+        params["h"] = init_dense(ks[3], enc_in, cfg.intermediate_dim)
+        params["z_mean"] = init_dense(ks[4], cfg.intermediate_dim, cfg.latent_dim)
+        params["z_log_var"] = init_dense(ks[5], cfg.intermediate_dim, cfg.latent_dim)
+    else:
+        params["z_mean"] = init_dense(ks[4], enc_in, cfg.latent_dim)
+        params["z_log_var"] = init_dense(ks[5], enc_in, cfg.latent_dim)
+    dec_in = cfg.n_classes + cfg.latent_dim + (cfg.original_dim if cfg.use_x_prev else 0)
+    if cfg.has_hidden:
+        params["decoder_h"] = init_dense(ks[6], dec_in, cfg.intermediate_dim)
+        params["x_decoded_mean"] = init_dense(ks[7], cfg.intermediate_dim, cfg.original_dim)
+    else:
+        params["x_decoded_mean"] = init_dense(ks[7], dec_in, cfg.original_dim)
+    return params
+
+
+def encode_w(params, x):
+    """x -> (w_mean, w_log_var). Replaces make_w_encoder (cl_vae/model.py:76-85)."""
+    h_w = dense(params["h_w"], x, jax.nn.relu)
+    return dense(params["w_mean"], h_w), dense(params["w_log_var"], h_w)
+
+
+def encode_z(params, cfg: Config, x, w):
+    """(x, w) -> (z_mean, z_log_var). Replaces make_z_encoder (cl_vae/model.py:87-102)."""
+    xw = jnp.concatenate([x, w], axis=-1)
+    h = dense(params["h"], xw, jax.nn.relu) if cfg.has_hidden else xw
+    return dense(params["z_mean"], h), dense(params["z_log_var"], h)
+
+
+def decode(params, cfg: Config, w, z, x_prev=None):
+    """(w, z[, x_prev]) -> sigmoid x_mean. Replaces make_decoder (cl_vae/model.py:104-128)."""
+    xpz = jnp.concatenate([x_prev, z], axis=-1) if cfg.use_x_prev else z
+    wz = jnp.concatenate([w, xpz], axis=-1)
+    h = dense(params["decoder_h"], wz, jax.nn.relu) if cfg.has_hidden else wz
+    return dense(params["x_decoded_mean"], h, jax.nn.sigmoid)
+
+
+def apply(params, cfg: Config, x, key, x_prev=None):
+    """Full stochastic forward pass; returns every named tensor of the graph."""
+    kw, kz = jax.random.split(key)
+    w_mean, w_log_var = encode_w(params, x)
+    w = sample_logistic_normal(kw, w_mean, w_log_var)
+    z_mean, z_log_var = encode_z(params, cfg, x, w)
+    z = sample_gaussian(kz, z_mean, z_log_var)
+    x_decoded_mean = decode(params, cfg, w, z, x_prev)
+    return {
+        "x_decoded_mean": x_decoded_mean,
+        "w": w,
+        "w_mean": w_mean,
+        "w_log_var": w_log_var,
+        "z": z,
+        "z_mean": z_mean,
+        "z_log_var": z_log_var,
+    }
+
+
+def loss_and_metrics(params, cfg: Config, batch, key, kl_weight=1.0, class_weight=1.0, w_kl_weight=1.0):
+    """Weighted ELBO + named terms, Keras-compile parity.
+
+    ``batch`` is a dict with ``x`` (encoder input), ``y`` (reconstruction
+    target), ``w`` (one-hot key), optional ``x_prev``. The reference wires
+    ``model.fit(xtr, [y, w, w, y])`` with loss weights
+    {vae: 1, w_kl: w_kl_weight, w_rec: class_weight, kl: kl_weight}
+    (``cl_vae/model.py:216-219``, ``cl_vae/train.py:58-71``); each term is
+    averaged over the batch before weighting, exactly like Keras.
+    """
+    out = apply(params, cfg, batch["x"], key, batch.get("x_prev"))
+    vae = jnp.mean(L.vae_loss(batch["y"], out["x_decoded_mean"], cfg.original_dim))
+    kl = jnp.mean(L.kl_loss(out["z_mean"], out["z_log_var"]))
+    if cfg.n_classes > 1:
+        w_kl = jnp.mean(L.w_kl_loss(out["w_mean"], out["w_log_var"], cfg.w_log_var_prior))
+        w_rec = jnp.mean(L.w_rec_loss(batch["w"], out["w"], cfg.n_classes))
+        w_acc = jnp.mean(
+            (jnp.argmax(out["w"], -1) == jnp.argmax(batch["w"], -1)).astype(jnp.float32)
+        )
+    else:  # vanilla VAE: no free logits, w losses vanish identically
+        w_kl = jnp.array(0.0)
+        w_rec = jnp.array(0.0)
+        w_acc = jnp.array(1.0)
+    total = vae + w_kl_weight * w_kl + class_weight * w_rec + kl_weight * kl
+    return total, {
+        "loss": total,
+        "x_decoded_mean_loss": vae,
+        "w_loss": w_kl,
+        "w2_loss": w_rec,
+        "z_args_loss": kl,
+        "w_acc": w_acc,
+    }

@@ -1,0 +1,176 @@
+"""Classifying VAE+LSTM (STORN-style sequence model).
+
+TPU-native re-design of the reference graph (``cl_vrnn/model.py:164-267``):
+
+* both LSTMs run under ``jax.lax.scan`` with their input projections hoisted
+  into single whole-sequence MXU matmuls (:mod:`..ops.lstm`) — the TPU
+  treatment of the reference's Keras symbolic unroll;
+* the same cell weights drive training and step-wise generation, which fixes
+  reference quirk Q3 by construction (the reference's ``make_z_encoder``
+  rebuilt a *fresh* LSTM and never copied the trained weights,
+  ``cl_vrnn/model.py:122-133``);
+* per-timestep Gaussian latents + one window-level Logistic-Normal key latent,
+  losses identical to :mod:`.cl_vae` but summed per timestep (rank-3),
+  reference ``cl_vrnn/model.py:236-264``.
+
+Architecture:
+  key head   flatten(X) -> hW(relu, original_dim) -> Wargs(2*(K-1)) -> split
+  W ~ LogisticNormal(W_mean, W_log_var)                       [K-simplex]
+  encoder    LSTM(intermediate_dim) over concat(X, repeat(W))
+             -> Z_mean/Z_log_var per step (RandomNormal(0, 0.1) kernels,
+                reference cl_vrnn/model.py:200-207)
+  Z_t ~ N(Z_mean_t, exp(Z_log_var_t))
+  decoder    LSTM(intermediate_dim) over concat([Xp,] Z, repeat(W))
+             -> sigmoid Dense X_decoded_mean per step (RandomNormal(0, 0.1))
+
+The reference's ``dropout`` constructor arg exists but is never CLI-exposed
+(SURVEY §2 row 7); we accept and apply it (on the LSTM inputs, Keras-style)
+for completeness, default 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import losses as L
+from ..nn.core import dense, init_dense, random_normal_init
+from ..nn.distributions import sample_gaussian, sample_logistic_normal
+from ..ops.lstm import lstm_sequence, lstm_step
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    original_dim: int = 88
+    intermediate_dim: int = 88
+    latent_dim: int = 2
+    seq_length: int = 16
+    n_classes: int = 2
+    use_x_prev: bool = False
+    w_log_var_prior: float = 0.0
+    dropout: float = 0.0
+    lstm_backend: str = "xla"  # 'xla' (lax.scan) or 'pallas' (fused kernel)
+
+
+def init(key, cfg: Config) -> dict:
+    from ..nn.core import init_lstm
+
+    ks = jax.random.split(key, 7)
+    K1 = cfg.n_classes - 1
+    head_init = random_normal_init(0.1)
+    enc_in = cfg.original_dim + cfg.n_classes
+    dec_in = cfg.latent_dim + cfg.n_classes + (cfg.original_dim if cfg.use_x_prev else 0)
+    return {
+        "hW": init_dense(ks[0], cfg.seq_length * cfg.original_dim, cfg.original_dim),
+        "Wargs": init_dense(ks[1], cfg.original_dim, 2 * K1),
+        "encoder_h": init_lstm(ks[2], enc_in, cfg.intermediate_dim),
+        "Z_mean": init_dense(ks[3], cfg.intermediate_dim, cfg.latent_dim, head_init),
+        "Z_log_var": init_dense(ks[4], cfg.intermediate_dim, cfg.latent_dim, head_init),
+        "decoder_h": init_lstm(ks[5], dec_in, cfg.intermediate_dim),
+        "X_decoded_mean": init_dense(ks[6], cfg.intermediate_dim, cfg.original_dim, head_init),
+    }
+
+
+def encode_w(params, cfg: Config, x_window):
+    """Flattened window -> (W_mean, W_log_var) (reference cl_vrnn/model.py:174-181)."""
+    K1 = cfg.n_classes - 1
+    flat = x_window.reshape(x_window.shape[:-2] + (cfg.seq_length * cfg.original_dim,))
+    hW = dense(params["hW"], flat, jax.nn.relu)
+    Wargs = dense(params["Wargs"], hW)
+    return Wargs[..., :K1], Wargs[..., K1:]
+
+
+def _repeat_w(w, seq_length):
+    """[B, K] -> [B, T, K] (the reference's RepeatVector)."""
+    return jnp.broadcast_to(w[:, None, :], (w.shape[0], seq_length, w.shape[-1]))
+
+
+def encode_z_sequence(params, cfg: Config, x, w, h0=None, c0=None, dropout_key=None):
+    """(X, W) -> per-step (Z_mean, Z_log_var) + final LSTM state."""
+    xw = jnp.concatenate([x, _repeat_w(w, x.shape[1])], axis=-1)
+    if cfg.dropout > 0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1 - cfg.dropout, xw.shape)
+        xw = jnp.where(keep, xw / (1 - cfg.dropout), 0.0)
+    h_seq, state = lstm_sequence(params["encoder_h"], xw, h0, c0, backend=cfg.lstm_backend)
+    return dense(params["Z_mean"], h_seq), dense(params["Z_log_var"], h_seq), state
+
+
+def decode_sequence(params, cfg: Config, z, w, x_prev=None, h0=None, c0=None, dropout_key=None):
+    """(Z, W[, Xp]) -> per-step sigmoid X_mean + final LSTM state."""
+    xpz = jnp.concatenate([x_prev, z], axis=-1) if cfg.use_x_prev else z
+    xpz = jnp.concatenate([xpz, _repeat_w(w, z.shape[1])], axis=-1)
+    if cfg.dropout > 0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1 - cfg.dropout, xpz.shape)
+        xpz = jnp.where(keep, xpz / (1 - cfg.dropout), 0.0)
+    h_seq, state = lstm_sequence(params["decoder_h"], xpz, h0, c0, backend=cfg.lstm_backend)
+    return dense(params["X_decoded_mean"], h_seq, jax.nn.sigmoid), state
+
+
+def encode_z_step(params, x_t, w, h, c):
+    """Single-step z encoder for generation; carries (h, c) explicitly.
+
+    Equivalent of the reference's stateful batch-1 z-encoder
+    (``cl_vrnn/model.py:116-136``) but sharing the trained weights (Q3 fixed).
+    """
+    xw = jnp.concatenate([x_t, w], axis=-1)
+    h, c = lstm_step(params["encoder_h"], xw, h, c)
+    return dense(params["Z_mean"], h), dense(params["Z_log_var"], h), h, c
+
+
+def decode_step(params, cfg: Config, z_t, w, h, c, x_prev=None):
+    """Single-step decoder for generation (reference cl_vrnn/model.py:138-162)."""
+    xpz = jnp.concatenate([x_prev, z_t], axis=-1) if cfg.use_x_prev else z_t
+    xpz = jnp.concatenate([xpz, w], axis=-1)
+    h, c = lstm_step(params["decoder_h"], xpz, h, c)
+    return dense(params["X_decoded_mean"], h, jax.nn.sigmoid), h, c
+
+
+def apply(params, cfg: Config, x, key, x_prev=None):
+    """Full stochastic forward pass over a window batch [B, T, D]."""
+    kw, kz, kd1, kd2 = jax.random.split(key, 4)
+    W_mean, W_log_var = encode_w(params, cfg, x)
+    W = sample_logistic_normal(kw, W_mean, W_log_var)
+    Z_mean, Z_log_var, _ = encode_z_sequence(params, cfg, x, W, dropout_key=kd1)
+    Z = sample_gaussian(kz, Z_mean, Z_log_var)
+    X_decoded_mean, _ = decode_sequence(params, cfg, Z, W, x_prev, dropout_key=kd2)
+    return {
+        "X_decoded_mean": X_decoded_mean,
+        "W": W,
+        "W_mean": W_mean,
+        "W_log_var": W_log_var,
+        "Z": Z,
+        "Z_mean": Z_mean,
+        "Z_log_var": Z_log_var,
+    }
+
+
+def loss_and_metrics(params, cfg: Config, batch, key, kl_weight=1.0, class_weight=1.0, w_kl_weight=1.0):
+    """Weighted sequence ELBO with Keras reductions (cl_vrnn/model.py:236-264).
+
+    ``vae`` and ``kl`` are per-(batch, timestep) and averaged over both axes;
+    the w terms are per-window. Targets: ``y`` [B, T, D] per-step next frames.
+    """
+    out = apply(params, cfg, batch["x"], key, batch.get("x_prev"))
+    vae = jnp.mean(L.vae_loss(batch["y"], out["X_decoded_mean"], cfg.original_dim))
+    kl = jnp.mean(L.kl_loss(out["Z_mean"], out["Z_log_var"]))
+    if cfg.n_classes > 1:
+        w_kl = jnp.mean(L.w_kl_loss(out["W_mean"], out["W_log_var"], cfg.w_log_var_prior))
+        w_rec = jnp.mean(L.w_rec_loss(batch["w"], out["W"], cfg.n_classes))
+        w_acc = jnp.mean(
+            (jnp.argmax(out["W"], -1) == jnp.argmax(batch["w"], -1)).astype(jnp.float32)
+        )
+    else:
+        w_kl = jnp.array(0.0)
+        w_rec = jnp.array(0.0)
+        w_acc = jnp.array(1.0)
+    total = vae + w_kl_weight * w_kl + class_weight * w_rec + kl_weight * kl
+    return total, {
+        "loss": total,
+        "X_decoded_mean_loss": vae,
+        "W_loss": w_kl,
+        "W2_loss": w_rec,
+        "Z_args_loss": kl,
+        "w_acc": w_acc,
+    }

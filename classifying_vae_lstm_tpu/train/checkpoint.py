@@ -1,0 +1,93 @@
+"""Checkpointing: the reference's "args.json + weights" contract.
+
+The reference saves three files per run (``save_model_in_pieces``,
+``utils/model_utils.py:160-167``): ``<run>.yaml`` (architecture dump),
+``<run>.json`` (the full argparse namespace) and ``<run>.h5`` (weights-only,
+save-best-only). Loading never uses the yaml (Keras Lambda bug); it re-runs
+``get_model`` from the json args and loads weights
+(``cl_vae/model.py:226-239``).
+
+We keep that contract: ``<run>.json`` is the verbatim config namespace,
+``<run>.npz`` holds the flattened param pytree (np.savez — portable, no h5py
+dependency), ``<run>.yaml`` is an architecture/shape dump (JSON is a YAML
+subset, so the file is valid YAML). As an extension over the reference we can
+also checkpoint optimizer state (``<run>.opt.npz``) for true mid-training
+resume — the reference can only load-for-sampling (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_checkpoint(path_npz, params, opt_state=None):
+    """Write params (and optionally optimizer state) as .npz."""
+    np.savez(path_npz, **_flatten(params))
+    if opt_state is not None:
+        flat = {f"{i}/{k}": v for i, leaf in enumerate(jax.tree.leaves(opt_state)) for k, v in [("leaf", np.asarray(leaf))]}
+        np.savez(path_npz.replace(".npz", ".opt.npz"), **flat)
+
+
+def load_checkpoint(path_npz):
+    """Read a param pytree from .npz."""
+    with np.load(path_npz) as f:
+        return _unflatten({k: f[k] for k in f.files})
+
+
+def save_model_in_pieces(params, args, model_dir=None, run_name=None):
+    """Write ``<run>.yaml`` (arch dump) + ``<run>.json`` (args namespace).
+
+    Mirrors ``utils/model_utils.py:160-167``; ``args`` may be an argparse
+    Namespace or a plain dict.
+    """
+    d = vars(args) if not isinstance(args, dict) else args
+    model_dir = model_dir or d["model_dir"]
+    run_name = run_name or d["run_name"]
+    os.makedirs(model_dir, exist_ok=True)
+    arch = {k: list(np.shape(v)) for k, v in _flatten(params).items()}
+    with open(os.path.join(model_dir, run_name + ".yaml"), "w") as f:
+        json.dump(arch, f, indent=2)  # JSON is valid YAML
+    with open(os.path.join(model_dir, run_name + ".json"), "w") as f:
+        json.dump({k: v for k, v in d.items() if _json_ok(v)}, f)
+    return os.path.join(model_dir, run_name + ".npz")
+
+
+def _json_ok(v):
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False
+
+
+def load_model_args(model_file):
+    """Read the args namespace next to a weights file (reference cl_vae/model.py:232)."""
+    json_path = model_file.replace(".npz", ".json").replace(".h5", ".json")
+    with open(json_path) as f:
+        return json.load(f)

@@ -1,0 +1,167 @@
+"""Training loop: whole epochs as single device programs.
+
+The reference crosses the Python<->runtime boundary once per batch inside
+``model.fit`` (SURVEY §3.1 "HOT LOOP", ``cl_vae/train.py:66``). Here an epoch
+is ONE jitted call: on-device shuffle (``jax.random.permutation``), a
+``lax.scan`` over minibatches doing value_and_grad + the optimizer update, and
+a scanned validation pass. Anneal weights enter as traced scalars, so the
+per-epoch schedule (``AnnealLossWeight``) never triggers recompilation.
+
+Under a device mesh the batch axis of ``data`` is sharded over ``'data'`` and
+params/optimizer state are replicated; XLA inserts the gradient all-reduce
+over ICI (see :mod:`..parallel.mesh`). Single-chip semantics are identical.
+
+``fit`` reproduces the reference driver behavior end to end: annealing
+(``cl_vae/train.py:40-51``), save-best checkpointing and early stopping inert
+until ``min_epoch`` (``utils/model_utils.py:142-158``), Keras-style history
+dict, and best-epoch selection (``cl_vae/train.py:72-74``).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .callbacks import AnnealSchedule, CheckpointPolicy, EarlyStoppingAfterEpoch
+from .checkpoint import save_checkpoint
+
+
+def _batched(data: dict, perm, batch_size: int):
+    """Gather-shuffle and reshape [N, ...] -> [nb, batch, ...] on device."""
+    def f(a):
+        shuffled = jnp.take(a, perm, axis=0)
+        return shuffled.reshape((-1, batch_size) + a.shape[1:])
+
+    return {k: f(v) for k, v in data.items()}
+
+
+class Trainer:
+    """Compiled train/eval epoch functions for one model family.
+
+    ``loss_fn(params, batch, key, kl_w, class_w, w_kl_w) -> (loss, metrics)``
+    is the model's :func:`loss_and_metrics` partially applied to its config.
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        optimizer: optax.GradientTransformation,
+        batch_size: int,
+        data_sharding=None,
+        replicated_sharding=None,
+    ):
+        self.loss_fn = loss_fn
+        self.optimizer = optimizer
+        self.batch_size = batch_size
+        self.data_sharding = data_sharding
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def train_epoch(params, opt_state, data, key, kl_w, class_w, w_kl_w):
+            n = next(iter(data.values())).shape[0]
+            kperm, kstep = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n)
+            batches = _batched(data, perm, batch_size)
+            nb = n // batch_size
+            keys = jax.random.split(kstep, nb)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                batch, k = xs
+                (_, metrics), grads = grad_fn(params, batch, k, kl_w, class_w, w_kl_w)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(step, (params, opt_state), (batches, keys))
+            return params, opt_state, jax.tree.map(jnp.mean, metrics)
+
+        def eval_epoch(params, data, key, kl_w, class_w, w_kl_w):
+            n = next(iter(data.values())).shape[0]
+            nb = n // batch_size
+            batches = {k: v[: nb * batch_size].reshape((nb, batch_size) + v.shape[1:]) for k, v in data.items()}
+            keys = jax.random.split(key, nb)
+
+            def step(_, xs):
+                batch, k = xs
+                _, metrics = self.loss_fn(params, batch, k, kl_w, class_w, w_kl_w)
+                return None, metrics
+
+            _, metrics = jax.lax.scan(step, None, (batches, keys))
+            return jax.tree.map(jnp.mean, metrics)
+
+        self.train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+        self.eval_epoch = jax.jit(eval_epoch)
+
+
+def fit(
+    trainer: Trainer,
+    params,
+    train_data: dict,
+    val_data: dict,
+    num_epochs: int,
+    key,
+    kl_anneal: int = 0,
+    w_kl_anneal: int = 0,
+    class_weight: float = 1.0,
+    patience: int = 5,
+    min_epoch: int = 0,
+    checkpoint_path: str | None = None,
+    verbose: bool = True,
+    log_fn: Callable | None = None,
+):
+    """Run the full training schedule; returns (params, history, best_loss).
+
+    ``min_epoch`` gates checkpointing/early-stop exactly like the reference
+    (``max(kl_anneal, w_kl_anneal)+1``, ``cl_vae/train.py:38-39``). The best
+    epoch minimizes val_loss over epochs >= min_epoch (``cl_vae/train.py:72``).
+    """
+    opt_state = trainer.optimizer.init(params)
+    kl_sched = AnnealSchedule(0.1, 1.0, kl_anneal)
+    w_kl_sched = AnnealSchedule(0.0, 1.0, w_kl_anneal)
+    stopper = EarlyStoppingAfterEpoch(min_epoch=min_epoch, patience=patience)
+    ckpt = CheckpointPolicy(min_epoch=min_epoch)
+    history: dict[str, list] = {}
+    best_params = params
+
+    for epoch in range(num_epochs):
+        t0 = time.perf_counter()
+        kl_w = jnp.float32(kl_sched(epoch))
+        w_kl_w = jnp.float32(w_kl_sched(epoch))
+        key, k_train, k_val = jax.random.split(key, 3)
+        params, opt_state, m = trainer.train_epoch(
+            params, opt_state, train_data, k_train, kl_w, jnp.float32(class_weight), w_kl_w
+        )
+        vm = trainer.eval_epoch(params, val_data, k_val, kl_w, jnp.float32(class_weight), w_kl_w)
+        logs = {k: float(v) for k, v in m.items()}
+        logs.update({f"val_{k}": float(v) for k, v in vm.items()})
+        for k, v in logs.items():
+            history.setdefault(k, []).append(v)
+        if verbose:
+            dt = time.perf_counter() - t0
+            print(
+                f"epoch {epoch + 1}/{num_epochs} loss={logs['loss']:.3f} "
+                f"val_loss={logs['val_loss']:.3f} w_acc={logs.get('w_acc', 0):.3f} "
+                f"kl_w={float(kl_w):.2f} ({dt:.2f}s)"
+            )
+        if log_fn is not None:
+            log_fn(epoch, logs)
+        if ckpt.should_save(epoch, logs["val_loss"]):
+            # real device copies: params buffers are donated to the next epoch
+            best_params = jax.tree.map(jnp.copy, params)
+            if checkpoint_path is not None:
+                save_checkpoint(checkpoint_path, best_params)
+        if patience > 0 and stopper.should_stop(epoch, logs["val_loss"]):
+            break
+
+    val_losses = history.get("val_loss", [])
+    masked = [v if i >= min_epoch else np.inf for i, v in enumerate(val_losses)]
+    best_ind = int(np.argmin(masked)) if masked else 0
+    best_loss = {k: v[best_ind] for k, v in history.items() if v}
+    return params, best_params, history, best_loss
