@@ -1,0 +1,70 @@
+"""Generate music from a trained Classifying VAE. Flag-for-flag port of the
+reference CLI (``cl_vae/sample.py:35-61``); run as
+
+    python -m classifying_vae_lstm_tpu.cli.cl_vae_sample <run_name> -i <model.npz> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PianoData, write_sample
+from ..data.pianoroll import to_categorical
+from ..sampling import generate_cl_vae
+from . import common
+
+
+def make_sample(P, params, cfg, margs, args, key, run_name):
+    """Seed from a random test window; w = true key one-hot or inferred
+    (reference ``cl_vae/sample.py:8-15``)."""
+    k_seed, k_gen = jax.random.split(key)
+    seed_ind = int(jax.random.randint(k_seed, (), 0, len(P.x_test)))
+    x_seed = P.x_test[seed_ind][0]
+    w_val = None
+    if not args.infer_w:
+        seed_key_ind = P.test_song_keys[seed_ind]
+        w_val = jnp.asarray(to_categorical([seed_key_ind], margs["n_classes"])[0])
+    sample = generate_cl_vae(
+        params, cfg, jnp.asarray(x_seed), args.t, k_gen, w_val=w_val, use_z_prior=args.use_z_prior
+    )
+    write_sample(np.asarray(sample), args.sample_dir, run_name, True)
+
+
+def sample(args):
+    params, cfg, margs = common.load_model(args.model_file, "cl_vae", no_x_prev=args.no_x_prev)
+    P = PianoData(args.train_file, batch_size=1, seq_length=args.t, squeeze_x=True)
+    os.makedirs(args.sample_dir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(args.n):
+        key, k = jax.random.split(key)
+        make_sample(P, params, cfg, margs, args, k, f"{args.run_name}_{i}")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("run_name", type=str, help="tag for current run")
+    parser.add_argument("-n", type=int, default=1, help="number of samples")
+    parser.add_argument("--use_z_prior", action="store_true",
+                        help="sample z from standard normal at each timestep")
+    parser.add_argument("-t", type=int, default=32, help="number of timesteps per sample")
+    parser.add_argument("--infer_w", action="store_true", help="infer w when generating")
+    parser.add_argument("--no_x_prev", action="store_true", help="override use_x_prev")
+    parser.add_argument("--sample_dir", type=str, default="data/samples",
+                        help="basedir for saving output midi files")
+    parser.add_argument("--model_dir", type=str, default="data/models",
+                        help="basedir for saving model weights")
+    parser.add_argument("-i", "--model_file", type=str, default="",
+                        help="preload model weights (no training)")
+    parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,
+                        help="file of training data (.pickle)")
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
+    return parser
+
+
+if __name__ == "__main__":
+    sample(build_parser().parse_args())

@@ -1,0 +1,132 @@
+"""Train a Classifying VAE. Flag-for-flag port of the reference CLI
+(``cl_vae/train.py:76-121``); run as
+
+    python -m classifying_vae_lstm_tpu.cli.cl_vae_train <run_name> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..data import PianoData
+from ..models import cl_vae
+from ..optim import init_optimizer
+from ..train import Trainer, fit, save_model_in_pieces
+from . import common
+
+
+def train(args):
+    P = PianoData(
+        args.train_file,
+        batch_size=args.batch_size,
+        seq_length=args.seq_length,
+        step_length=1,
+        return_y_next=args.predict_next or args.use_x_prev,
+        squeeze_x=True,
+        squeeze_y=True,
+    )
+    if args.seq_length > 1:
+        args.original_dim = common.prune_and_flatten_cl_vae(P, args.seq_length)
+
+    args.n_classes = int(len(np.unique(P.train_song_keys)))
+    assert not (args.predict_next and args.use_x_prev), "Can't use --predict_next if using --use_x_prev"
+    if args.kl_anneal > 0:
+        assert args.kl_anneal <= args.num_epochs, "invalid kl_anneal"
+    if args.w_kl_anneal > 0:
+        assert args.w_kl_anneal <= args.num_epochs, "invalid w_kl_anneal"
+    min_epoch = max(args.kl_anneal, args.w_kl_anneal) + 1
+
+    optimizer, was_adam_wn = init_optimizer(args.optimizer)
+    args.optimizer = "adam-wn" if was_adam_wn else args.optimizer
+    cfg = common.cl_vae_config_from_args(vars(args))
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init, k_fit = jax.random.split(key, 3)
+    params = cl_vae.init(k_init, cfg)
+
+    ckpt_path = save_model_in_pieces(params, args)
+    data = common.build_cl_vae_datasets(P, args.n_classes, args.use_x_prev)
+
+    if args.data_init:
+        # real weight-norm data-dependent init (reference's is a silent no-op, Q4)
+        from ..optim import data_based_init
+        from ..nn.core import dense
+
+        x0 = data["train"]["x"][:100]
+        pre = x0 @ params["h_w"]["kernel"] + params["h_w"]["bias"]
+        params = data_based_init(params, {"h_w": pre})
+
+    loss_fn = functools.partial(_loss, cfg)
+    trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
+    log_fn = _make_log_fn(args) if args.do_log else None
+    params, best_params, history, best_loss = fit(
+        trainer,
+        params,
+        data["train"],
+        data["valid"],
+        num_epochs=args.num_epochs,
+        key=k_fit,
+        kl_anneal=args.kl_anneal,
+        w_kl_anneal=args.w_kl_anneal,
+        class_weight=args.class_weight,
+        patience=args.patience,
+        min_epoch=min_epoch,
+        checkpoint_path=ckpt_path,
+    )
+    print({k: round(v, 4) for k, v in best_loss.items()})
+    return best_params, best_loss
+
+
+def _loss(cfg, params, batch, key, kl_w, class_w, w_kl_w):
+    return cl_vae.loss_and_metrics(params, cfg, batch, key, kl_w, class_w, w_kl_w)
+
+
+def _make_log_fn(args):
+    os.makedirs(args.log_dir, exist_ok=True)
+    path = os.path.join(args.log_dir, args.run_name + ".jsonl")
+    f = open(path, "a")
+
+    def log_fn(epoch, logs):
+        f.write(json.dumps({"epoch": epoch, **logs}) + "\n")
+        f.flush()
+
+    return log_fn
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("run_name", type=str, help="tag for current run")
+    parser.add_argument("--batch_size", type=int, default=100, help="batch size")
+    parser.add_argument("--optimizer", type=str, default="adam-wn", help="optimizer name")
+    parser.add_argument("--num_epochs", type=int, default=200, help="number of epochs")
+    parser.add_argument("--original_dim", type=int, default=88, help="input dim")
+    parser.add_argument("--intermediate_dim", type=int, default=88, help="intermediate dim")
+    parser.add_argument("--latent_dim", type=int, default=2, help="latent dim")
+    parser.add_argument("--seq_length", type=int, default=1, help="sequence length (concat)")
+    parser.add_argument("--class_weight", type=float, default=1.0, help="relative weight on classifying key")
+    parser.add_argument("--w_log_var_prior", type=float, default=0.0, help="w log var prior")
+    parser.add_argument("--intermediate_class_dim", type=int, default=88, help="intermediate dims for classes")
+    parser.add_argument("--do_log", action="store_true", help="save log files")
+    parser.add_argument("--predict_next", action="store_true", help="use x_t to 'autoencode' x_{t+1}")
+    parser.add_argument("--use_x_prev", action="store_true", help="use x_{t-1} to help z_t decode x_t")
+    parser.add_argument("--patience", type=int, default=5, help="# of epochs, for early stopping")
+    parser.add_argument("--kl_anneal", type=int, default=0, help="number of epochs before kl loss term is 1.0")
+    parser.add_argument("--w_kl_anneal", type=int, default=0, help="number of epochs before w's kl loss term is 1.0")
+    parser.add_argument("--log_dir", type=str, default="data/logs", help="basedir for saving log files")
+    parser.add_argument("--model_dir", type=str, default="data/models", help="basedir for saving model weights")
+    parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,
+                        help="file of training data (.pickle)")
+    # extensions over the reference CLI
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
+    parser.add_argument("--data_init", action="store_true",
+                        help="real weight-norm data-dependent init (reference's was a no-op)")
+    return parser
+
+
+if __name__ == "__main__":
+    train(build_parser().parse_args())

@@ -1,0 +1,129 @@
+"""Train the Classifying VAE+LSTM (STORN). Flag-for-flag port of the reference
+CLI (``cl_vrnn/train.py:76-118``); run as
+
+    python -m classifying_vae_lstm_tpu.cli.cl_vrnn_train <run_name> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..data import PianoData
+from ..models import cl_vrnn
+from ..optim import init_optimizer
+from ..train import Trainer, fit, save_model_in_pieces
+from . import common
+
+
+def train(args):
+    P = PianoData(
+        args.train_file,
+        batch_size=args.batch_size,
+        seq_length=args.seq_length,
+        step_length=1,
+        return_y_next=args.predict_next or args.use_x_prev,
+        return_y_hist=True,
+        squeeze_x=False,
+        squeeze_y=False,
+    )
+    args.n_classes = int(len(np.unique(P.train_song_keys)))
+    print(f"Training with {args.n_classes} classes.")
+    assert not (args.predict_next and args.use_x_prev), "Can't use --predict_next if using --use_x_prev"
+    if args.kl_anneal > 0:
+        assert args.kl_anneal <= args.num_epochs, "invalid kl_anneal"
+    if args.w_kl_anneal > 0:
+        assert args.w_kl_anneal <= args.num_epochs, "invalid w_kl_anneal"
+    # callbacks gate on max(anneals)+1; the reference's best-epoch rule uses
+    # min(anneals) (quirk Q6) — both preserved
+    min_epoch_cb = max(args.kl_anneal, args.w_kl_anneal) + 1
+    min_epoch_best = min(args.kl_anneal, args.w_kl_anneal)
+
+    optimizer, was_adam_wn = init_optimizer(args.optimizer)
+    args.optimizer = "adam-wn" if was_adam_wn else args.optimizer
+    cfg = common.cl_vrnn_config_from_args(vars(args))
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init, k_fit = jax.random.split(key, 3)
+    params = cl_vrnn.init(k_init, cfg)
+
+    ckpt_path = save_model_in_pieces(params, args)
+    data = common.build_cl_vrnn_datasets(P, args.n_classes, args.use_x_prev)
+    print((P.x_train.shape, P.y_train.shape))
+
+    loss_fn = functools.partial(_loss, cfg)
+    trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
+    params, best_params, history, _ = fit(
+        trainer,
+        params,
+        data["train"],
+        data["valid"],
+        num_epochs=args.num_epochs,
+        key=k_fit,
+        kl_anneal=args.kl_anneal,
+        w_kl_anneal=args.w_kl_anneal,
+        class_weight=args.class_weight,
+        patience=args.patience,
+        min_epoch=min_epoch_cb,
+        checkpoint_path=ckpt_path,
+        log_fn=_make_log_fn(args) if args.do_log else None,
+    )
+    val_losses = history.get("val_loss", [])
+    masked = [v if i >= min_epoch_best else np.inf for i, v in enumerate(val_losses)]
+    best_ind = int(np.argmin(masked)) if masked else 0
+    best_loss = {k: v[best_ind] for k, v in history.items() if v}
+    print({k: round(v, 4) for k, v in best_loss.items()})
+    return best_params, best_loss
+
+
+def _loss(cfg, params, batch, key, kl_w, class_w, w_kl_w):
+    return cl_vrnn.loss_and_metrics(params, cfg, batch, key, kl_w, class_w, w_kl_w)
+
+
+def _make_log_fn(args):
+    os.makedirs(args.log_dir, exist_ok=True)
+    path = os.path.join(args.log_dir, args.run_name + ".jsonl")
+    f = open(path, "a")
+
+    def log_fn(epoch, logs):
+        f.write(json.dumps({"epoch": epoch, **logs}) + "\n")
+        f.flush()
+
+    return log_fn
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("run_name", type=str, help="tag for current run")
+    parser.add_argument("--batch_size", type=int, default=200, help="batch size")
+    parser.add_argument("--optimizer", type=str, default="adam-wn", help="optimizer name")
+    parser.add_argument("--num_epochs", type=int, default=200, help="number of epochs")
+    parser.add_argument("--original_dim", type=int, default=88, help="input dim")
+    parser.add_argument("--latent_dim", type=int, default=2, help="latent dim")
+    parser.add_argument("--intermediate_dim", type=int, default=88, help="intermediate dim")
+    parser.add_argument("--seq_length", type=int, default=16, help="sequence length (to use as history)")
+    parser.add_argument("--class_weight", type=float, default=1.0, help="relative weight on classifying key")
+    parser.add_argument("--predict_next", action="store_true", help="use x_t to 'autoencode' x_{t+1}")
+    parser.add_argument("--do_log", action="store_true", help="save log files")
+    parser.add_argument("--w_log_var_prior", type=float, default=0.0, help="log variance prior on w")
+    parser.add_argument("--kl_anneal", type=int, default=0, help="number of epochs before kl loss term is 1.0")
+    parser.add_argument("--w_kl_anneal", type=int, default=0, help="number of epochs before w's kl loss term is 1.0")
+    parser.add_argument("--patience", type=int, default=5, help="# of epochs, for early stopping")
+    parser.add_argument("--use_x_prev", action="store_true", help="use x_{t-1} to help z_t decode x_t")
+    parser.add_argument("--log_dir", type=str, default="data/logs", help="basedir for saving log files")
+    parser.add_argument("--model_dir", type=str, default="data/models", help="basedir for saving model weights")
+    parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,
+                        help="file of training data (.pickle)")
+    # extensions over the reference CLI
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
+    parser.add_argument("--lstm_backend", type=str, default="xla", choices=["xla", "pallas"],
+                        help="LSTM sequence backend (extension)")
+    return parser
+
+
+if __name__ == "__main__":
+    train(build_parser().parse_args())

@@ -1,0 +1,118 @@
+"""Shared CLI plumbing: dataset assembly, model (re)construction, loading.
+
+Keeps the reference's config contract: the argparse namespace doubles as the
+model config, is serialized verbatim to ``<run>.json`` and reloaded as
+``margs`` at sampling time (``cl_vae/train.py:76-121``,
+``utils/model_utils.py:165-167``, ``cl_vae/model.py:226-239``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PianoData
+from ..data.pianoroll import to_categorical
+from ..models import cl_vae, cl_vrnn
+from ..train.checkpoint import load_checkpoint, load_model_args
+
+DEFAULT_TRAIN_FILE = "/root/reference/data/input/JSB Chorales_Cs.pickle"
+
+
+def prune_and_flatten_cl_vae(P: PianoData, seq_length: int) -> int:
+    """cl_vae seq-concat mode: drop never-played pitch columns, flatten windows.
+
+    Reference ``cl_vae/train.py:21-30``: active columns are computed over ALL
+    splits' x and y stacked; returns the new original_dim.
+    """
+    X = np.vstack([P.x_train, P.x_valid, P.x_test, P.y_train, P.y_valid, P.y_test])
+    ix = X.sum(axis=0).sum(axis=0) > 0
+    for attr in ("x_train", "x_valid", "x_test", "y_train", "y_valid", "y_test"):
+        a = getattr(P, attr)
+        setattr(P, attr, np.ascontiguousarray(a[:, :, ix].reshape((len(a), -1))))
+    return int(ix.sum()) * seq_length
+
+
+def build_cl_vae_datasets(P: PianoData, n_classes: int, use_x_prev: bool):
+    """Assemble device-ready train/valid dicts for the cl_vae trainer.
+
+    The reference wires ``use_x_prev`` as inputs ``[y, x]`` — the model
+    autoencodes frame t+1 with history = frame t (``cl_vae/train.py:58-63``).
+    """
+    w = {
+        "train": to_categorical(P.train_song_keys, n_classes),
+        "valid": to_categorical(P.valid_song_keys, n_classes),
+        "test": to_categorical(P.test_song_keys, n_classes),
+    }
+    out = {}
+    for split in ("train", "valid", "test"):
+        x = getattr(P, f"x_{split}")
+        y = getattr(P, f"y_{split}")
+        d = {"y": jnp.asarray(y), "w": jnp.asarray(w[split])}
+        if use_x_prev:
+            d["x"] = jnp.asarray(y)
+            d["x_prev"] = jnp.asarray(x)
+        else:
+            d["x"] = jnp.asarray(x)
+        out[split] = d
+    return out
+
+
+def build_cl_vrnn_datasets(P: PianoData, n_classes: int, use_x_prev: bool):
+    """Sequence datasets: x/y are [N, T, 88] (reference cl_vrnn/train.py:51-58)."""
+    w = {
+        "train": to_categorical(P.train_song_keys, n_classes),
+        "valid": to_categorical(P.valid_song_keys, n_classes),
+        "test": to_categorical(P.test_song_keys, n_classes),
+    }
+    out = {}
+    for split in ("train", "valid", "test"):
+        x = getattr(P, f"x_{split}")
+        y = getattr(P, f"y_{split}")
+        d = {"y": jnp.asarray(y), "w": jnp.asarray(w[split])}
+        if use_x_prev:
+            d["x"] = jnp.asarray(y)
+            d["x_prev"] = jnp.asarray(x)
+        else:
+            d["x"] = jnp.asarray(x)
+        out[split] = d
+    return out
+
+
+def cl_vae_config_from_args(margs: dict) -> cl_vae.Config:
+    return cl_vae.Config(
+        original_dim=margs["original_dim"],
+        intermediate_dim=margs["intermediate_dim"],
+        latent_dim=margs["latent_dim"],
+        intermediate_class_dim=margs["intermediate_class_dim"],
+        n_classes=margs["n_classes"],
+        use_x_prev=margs.get("use_x_prev", False),
+        w_log_var_prior=margs.get("w_log_var_prior", 0.0),
+    )
+
+
+def cl_vrnn_config_from_args(margs: dict) -> cl_vrnn.Config:
+    return cl_vrnn.Config(
+        original_dim=margs["original_dim"],
+        intermediate_dim=margs["intermediate_dim"],
+        latent_dim=margs["latent_dim"],
+        seq_length=margs["seq_length"],
+        n_classes=margs["n_classes"],
+        use_x_prev=margs.get("use_x_prev", False),
+        w_log_var_prior=margs.get("w_log_var_prior", 0.0),
+        lstm_backend=margs.get("lstm_backend", "xla"),
+    )
+
+
+def load_model(model_file: str, family: str, no_x_prev: bool = False):
+    """args.json + weights -> (params, cfg, margs) (reference cl_vae/model.py:226-239)."""
+    margs = load_model_args(model_file)
+    if no_x_prev or "use_x_prev" not in margs:
+        margs["use_x_prev"] = False
+    if family == "cl_vae":
+        cfg = cl_vae_config_from_args(margs)
+    else:
+        cfg = cl_vrnn_config_from_args(margs)
+    weights_file = model_file if model_file.endswith(".npz") else model_file.replace(".h5", ".npz")
+    params = load_checkpoint(weights_file)
+    return params, cfg, margs

@@ -1,0 +1,141 @@
+"""Compiled autoregressive generation.
+
+The reference generates one frame at a time from Python, crossing the
+Python<->runtime boundary 2-3 times per timestep (``cl_vae/model.py:28-41``,
+``cl_vrnn/model.py:47-59``; SURVEY §3.5 calls this the dominant inefficiency).
+Here whole songs are ONE device program: a ``jax.lax.scan`` over timesteps
+with on-device PRNG draws (Bernoulli frame sampling, Gaussian z, Logistic-
+Normal w), and ``jax.vmap`` over songs for batched multi-song sampling
+(BASELINE.json config 5).
+
+Semantics parity notes:
+
+* cl_vae: w is inferred ONCE from the seed frame (deterministic softmax of the
+  mean logits unless ``w_sample``), the decoder history input lags one step
+  (``x_prev_t``, reference ``cl_vae/model.py:23,40``), and ``use_z_prior``
+  samples z from N(0, I) (reference :30-33);
+* cl_vrnn: w is the average of Logistic-Normal draws over seq_length-sized
+  chunks of the seed. The reference iterates chunks over ``x_seed.shape[1]``
+  — the *pitch* axis, quirk Q7 — which accidentally works for t <= 88; we
+  chunk the time axis (the evident intent). LSTM state is carried explicitly
+  through the scan (the reference carries it implicitly in stateful Keras
+  submodels, and its z-encoder LSTM weights were never copied — quirk Q3 —
+  which we fix by sharing the trained params).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models import cl_vae, cl_vrnn
+from ..nn.distributions import sample_gaussian, sample_logistic_normal, sample_w_discrete
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "use_z_prior", "w_sample"))
+def generate_cl_vae(params, cfg: cl_vae.Config, x_seed, nsteps: int, key, w_val=None,
+                    use_z_prior: bool = False, w_sample: bool = False):
+    """Generate ``nsteps`` frames from a single seed frame ``x_seed [D]``.
+
+    Returns ``[nsteps, D]`` binary frames. ``w_val`` ([K] one-hot or simplex
+    point) overrides key inference (reference ``cl_vae/model.py:24-27``).
+    """
+    key, kw = jax.random.split(key)
+    x0 = x_seed[None, :]
+    if w_val is None:
+        w_mean, w_log_var = cl_vae.encode_w(params, x0)
+        w = sample_logistic_normal(kw, w_mean, w_log_var, add_noise=w_sample)
+    else:
+        w = w_val[None, :]
+
+    def step(carry, k):
+        x_prev, x_prev_t = carry
+        kz, kx = jax.random.split(k)
+        z_mean, z_log_var = cl_vae.encode_z(params, cfg, x_prev, w)
+        if use_z_prior:
+            z = sample_gaussian(kz, jnp.zeros_like(z_mean), jnp.zeros_like(z_log_var))
+        else:
+            z = sample_gaussian(kz, z_mean, z_log_var)
+        x_mean = cl_vae.decode(params, cfg, w, z, x_prev_t if cfg.use_x_prev else None)
+        x_t = jax.random.bernoulli(kx, x_mean).astype(x_mean.dtype)
+        return (x_t, x_prev), x_t[0]
+
+    keys = jax.random.split(key, nsteps)
+    _, xs = jax.lax.scan(step, (x0, x0), keys)
+    return xs
+
+
+def generate_cl_vae_batch(params, cfg, x_seeds, nsteps, key, w_vals=None, **kw):
+    """vmap over seeds: [N, D] -> [N, nsteps, D] in one device program."""
+    keys = jax.random.split(key, x_seeds.shape[0])
+    if w_vals is None:
+        fn = lambda s, k: generate_cl_vae(params, cfg, s, nsteps, k, None, **kw)
+        return jax.vmap(fn)(x_seeds, keys)
+    fn = lambda s, k, w: generate_cl_vae(params, cfg, s, nsteps, k, w, **kw)
+    return jax.vmap(fn)(x_seeds, keys, w_vals)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "w_sample", "w_discrete"))
+def infer_w_cl_vrnn(params, cfg: cl_vrnn.Config, x_seed, key,
+                    w_sample: bool = False, w_discrete: bool = False):
+    """Infer the key simplex point w from a seed roll ``[T, D]``.
+
+    Averages Logistic-Normal samples over seq_length chunks of the seed
+    (reference ``cl_vrnn/model.py:34-44``; time-axis chunking, Q7 fixed).
+    """
+    T = x_seed.shape[0]
+    n_chunks = max(T // cfg.seq_length, 1)
+    chunks = x_seed[: n_chunks * cfg.seq_length].reshape(n_chunks, cfg.seq_length, -1)
+    w_mean, w_log_var = cl_vrnn.encode_w(params, cfg, chunks)
+    kw, kd = jax.random.split(key)
+    keys = jax.random.split(kw, n_chunks)
+    ws = jax.vmap(lambda m, lv, k: sample_logistic_normal(k, m, lv, add_noise=w_sample))(
+        w_mean, w_log_var, keys
+    )
+    w = jnp.mean(ws, axis=0)
+    if w_discrete:
+        w = sample_w_discrete(kd, w)
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nsteps"))
+def generate_cl_vrnn(params, cfg: cl_vrnn.Config, x_seed, nsteps: int, key, w):
+    """Teacher-force the seed ``[Tseed, D]``, then free-run ``nsteps`` frames.
+
+    Returns ``[nsteps, D]`` (the post-seed frames only, reference
+    ``cl_vrnn/model.py:60``). ``w`` is a [K] simplex point (from
+    :func:`infer_w_cl_vrnn` or a one-hot true key).
+    """
+    Tseed, D = x_seed.shape
+    total = Tseed + nsteps
+    H = params["encoder_h"]["recurrent_kernel"].shape[0]
+    w_b = w[None, :]
+    seed_pad = jnp.concatenate([x_seed, jnp.zeros((nsteps, D), x_seed.dtype)], axis=0)
+
+    def step(carry, xs):
+        h_e, c_e, h_d, c_d, x_prev = carry
+        t, seed_t, k = xs
+        kz, kx = jax.random.split(k)
+        x_in = jnp.where(t < Tseed, seed_t[None, :], x_prev)
+        z_mean, z_log_var, h_e, c_e = cl_vrnn.encode_z_step(params, x_in, w_b, h_e, c_e)
+        z = sample_gaussian(kz, z_mean, z_log_var)
+        x_mean, h_d, c_d = cl_vrnn.decode_step(
+            params, cfg, z, w_b, h_d, c_d, x_prev=x_in if cfg.use_x_prev else None
+        )
+        x_t = jax.random.bernoulli(kx, x_mean).astype(x_mean.dtype)
+        return (h_e, c_e, h_d, c_d, x_t), x_t[0]
+
+    zeros = jnp.zeros((1, H), x_seed.dtype)
+    keys = jax.random.split(key, total)
+    init = (zeros, zeros, zeros, zeros, jnp.zeros((1, D), x_seed.dtype))
+    _, xs = jax.lax.scan(step, init, (jnp.arange(total), seed_pad, keys))
+    return xs[Tseed:]
+
+
+def generate_cl_vrnn_batch(params, cfg, x_seeds, nsteps, key, ws):
+    """vmap over seeds: [N, Tseed, D] -> [N, nsteps, D]."""
+    keys = jax.random.split(key, x_seeds.shape[0])
+    fn = lambda s, k, w: generate_cl_vrnn(params, cfg, s, nsteps, k, w)
+    return jax.vmap(fn)(x_seeds, keys, ws)
