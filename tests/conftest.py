@@ -7,10 +7,16 @@ on 8 host devices without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient axon TPU plugin pre-imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so env vars set here are too late for the import-time
+# config read — but the backend isn't initialized yet, so config.update works.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
