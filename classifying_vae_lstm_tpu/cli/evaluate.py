@@ -1,0 +1,72 @@
+"""Evaluate a trained model's test NLL (importance-sampled, nats/frame).
+
+The eval entry point the reference lacked (its ``logmeanexp``/``LL_frame``
+helpers were defined but never wired to a driver, SURVEY §5). Run as
+
+    python -m classifying_vae_lstm_tpu.cli.evaluate -i <model.npz> --family cl_vae
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PianoData
+from ..evaluation import iw_nll_cl_vae, iw_nll_cl_vrnn
+from . import common
+
+
+def evaluate(args):
+    params, cfg, margs = common.load_model(args.model_file, args.family)
+    if args.family == "cl_vae":
+        P = PianoData(args.train_file, batch_size=args.batch_size, seq_length=margs["seq_length"],
+                      return_y_next=margs.get("predict_next", False) or margs.get("use_x_prev", False),
+                      squeeze_x=True, squeeze_y=True)
+        if margs["seq_length"] > 1:
+            common.prune_and_flatten_cl_vae(P, margs["seq_length"])
+        data = common.build_cl_vae_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]
+        nll_fn = lambda x, y, xp, k: iw_nll_cl_vae(params, cfg, x, y, k, args.n_samples, xp)
+    else:
+        P = PianoData(args.train_file, batch_size=args.batch_size, seq_length=margs["seq_length"],
+                      return_y_next=margs.get("predict_next", False) or margs.get("use_x_prev", False),
+                      return_y_hist=True, squeeze_x=False, squeeze_y=False)
+        data = common.build_cl_vrnn_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]
+        nll_fn = lambda x, y, xp, k: iw_nll_cl_vrnn(params, cfg, x, y, k, args.n_samples, xp)
+
+    key = jax.random.PRNGKey(args.seed)
+    n = data["x"].shape[0]
+    bs = args.batch_size
+    nlls = []
+    for i in range(0, n - bs + 1, bs):
+        key, k = jax.random.split(key)
+        xp = data["x_prev"][i : i + bs] if "x_prev" in data else None
+        nlls.append(np.asarray(nll_fn(data["x"][i : i + bs], data["y"][i : i + bs], xp, k)))
+    nll = float(np.concatenate(nlls).mean())
+    out = {
+        "test_nll_nats_per_frame": round(nll, 4),
+        "n_importance_samples": args.n_samples,
+        "n_test_examples": len(nlls) * bs,
+        "family": args.family,
+        "train_file": args.train_file,
+    }
+    print(json.dumps(out))
+    return out
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-i", "--model_file", type=str, required=True)
+    parser.add_argument("--family", type=str, default="cl_vae", choices=["cl_vae", "cl_vrnn"])
+    parser.add_argument("--n_samples", type=int, default=64, help="importance samples per datapoint")
+    parser.add_argument("--batch_size", type=int, default=200)
+    parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+if __name__ == "__main__":
+    evaluate(build_parser().parse_args())
