@@ -34,9 +34,12 @@ from ..models import cl_vae, cl_vrnn
 from ..nn.distributions import sample_gaussian, sample_logistic_normal, sample_w_discrete
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "use_z_prior", "w_sample"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "nsteps", "use_z_prior", "w_sample", "return_probs")
+)
 def generate_cl_vae(params, cfg: cl_vae.Config, x_seed, nsteps: int, key, w_val=None,
-                    use_z_prior: bool = False, w_sample: bool = False):
+                    use_z_prior: bool = False, w_sample: bool = False,
+                    return_probs: bool = False):
     """Generate ``nsteps`` frames from a single seed frame ``x_seed [D]``.
 
     Returns ``[nsteps, D]`` binary frames. ``w_val`` ([K] one-hot or simplex
@@ -60,7 +63,7 @@ def generate_cl_vae(params, cfg: cl_vae.Config, x_seed, nsteps: int, key, w_val=
             z = sample_gaussian(kz, z_mean, z_log_var)
         x_mean = cl_vae.decode(params, cfg, w, z, x_prev_t if cfg.use_x_prev else None)
         x_t = jax.random.bernoulli(kx, x_mean).astype(x_mean.dtype)
-        return (x_t, x_prev), x_t[0]
+        return (x_t, x_prev), (x_mean[0] if return_probs else x_t[0])
 
     keys = jax.random.split(key, nsteps)
     _, xs = jax.lax.scan(step, (x0, x0), keys)
@@ -100,8 +103,9 @@ def infer_w_cl_vrnn(params, cfg: cl_vrnn.Config, x_seed, key,
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nsteps"))
-def generate_cl_vrnn(params, cfg: cl_vrnn.Config, x_seed, nsteps: int, key, w):
+@functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "return_probs"))
+def generate_cl_vrnn(params, cfg: cl_vrnn.Config, x_seed, nsteps: int, key, w,
+                     return_probs: bool = False):
     """Teacher-force the seed ``[Tseed, D]``, then free-run ``nsteps`` frames.
 
     Returns ``[nsteps, D]`` (the post-seed frames only, reference
@@ -125,7 +129,7 @@ def generate_cl_vrnn(params, cfg: cl_vrnn.Config, x_seed, nsteps: int, key, w):
             params, cfg, z, w_b, h_d, c_d, x_prev=x_in if cfg.use_x_prev else None
         )
         x_t = jax.random.bernoulli(kx, x_mean).astype(x_mean.dtype)
-        return (h_e, c_e, h_d, c_d, x_t), x_t[0]
+        return (h_e, c_e, h_d, c_d, x_t), (x_mean[0] if return_probs else x_t[0])
 
     zeros = jnp.zeros((1, H), x_seed.dtype)
     keys = jax.random.split(key, total)

@@ -122,6 +122,9 @@ def fit(
     (``max(kl_anneal, w_kl_anneal)+1``, ``cl_vae/train.py:38-39``). The best
     epoch minimizes val_loss over epochs >= min_epoch (``cl_vae/train.py:72``).
     """
+    # train_epoch donates its params/opt_state buffers; copy so the caller's
+    # arrays (and any later fit() on the same pytree) stay valid
+    params = jax.tree.map(jnp.copy, params)
     opt_state = trainer.optimizer.init(params)
     kl_sched = AnnealSchedule(0.1, 1.0, kl_anneal)
     w_kl_sched = AnnealSchedule(0.0, 1.0, w_kl_anneal)

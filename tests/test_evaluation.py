@@ -1,0 +1,63 @@
+"""NLL estimator tests: numerics helpers vs oracle, IW bound sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from classifying_vae_lstm_tpu.evaluation import iw_nll_cl_vae, iw_nll_cl_vrnn
+from classifying_vae_lstm_tpu.models import cl_vae, cl_vrnn
+from classifying_vae_lstm_tpu.utils import LL_frame, bincrossentropy, logmeanexp, logsumexp
+
+
+def test_logmeanexp_oracle():
+    rng = np.random.default_rng(0)
+    vs = rng.normal(size=(16, 5))
+    np.testing.assert_allclose(logmeanexp(vs), np.log(np.exp(vs).mean(0)), rtol=1e-10)
+    np.testing.assert_allclose(logsumexp(vs), np.log(np.exp(vs).sum(0)), rtol=1e-10)
+
+
+def test_logmeanexp_stable_for_large_values():
+    vs = np.array([[1000.0], [1000.0]])
+    np.testing.assert_allclose(logmeanexp(vs), 1000.0)
+
+
+def test_bincrossentropy_and_ll_frame():
+    x = np.array([[1.0, 0.0]])
+    xhat = np.array([[0.9, 0.2]])
+    oracle = np.array([[np.log(0.9), np.log(0.8)]])
+    np.testing.assert_allclose(bincrossentropy(x, xhat), oracle, rtol=1e-7)
+    ll = LL_frame(np.tile(x, (1, 44)), np.tile(xhat, (1, 44)))
+    np.testing.assert_allclose(ll, -88 * oracle.mean(), rtol=1e-5)
+
+
+def test_iw_nll_more_samples_tightens_bound():
+    """E[IW-NLL] is monotone non-increasing in K (tighter bound)."""
+    cfg = cl_vae.Config(original_dim=12, intermediate_dim=8, latent_dim=2,
+                        intermediate_class_dim=6, n_classes=3)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (64, 12)) < 0.2).astype(jnp.float32)
+    nll1 = float(iw_nll_cl_vae(params, cfg, x, x, jax.random.PRNGKey(2), 1).mean())
+    nll64 = float(iw_nll_cl_vae(params, cfg, x, x, jax.random.PRNGKey(2), 64).mean())
+    assert nll64 <= nll1 + 0.05
+
+
+def test_iw_nll_reasonable_range():
+    cfg = cl_vae.Config(original_dim=12, intermediate_dim=8, latent_dim=2,
+                        intermediate_class_dim=6, n_classes=3)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (32, 12)) < 0.2).astype(jnp.float32)
+    nll = np.asarray(iw_nll_cl_vae(params, cfg, x, x, jax.random.PRNGKey(2), 16))
+    assert np.isfinite(nll).all()
+    # untrained model on 12-dim binary data: ~12*log(2) +/- slack
+    assert 2.0 < nll.mean() < 40.0
+
+
+def test_iw_nll_vrnn_per_frame_normalization():
+    cfg = cl_vrnn.Config(original_dim=10, intermediate_dim=8, latent_dim=2,
+                         seq_length=6, n_classes=3)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (16, 6, 10)) < 0.2).astype(jnp.float32)
+    nll = np.asarray(iw_nll_cl_vrnn(params, cfg, x, x, jax.random.PRNGKey(2), 8))
+    assert nll.shape == (16,)
+    assert np.isfinite(nll).all()
+    assert 1.0 < nll.mean() < 40.0  # nats per FRAME, not per window

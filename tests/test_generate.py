@@ -1,0 +1,100 @@
+"""Generation tests: shapes, determinism under fixed keys, semantics flags."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from classifying_vae_lstm_tpu.models import cl_vae, cl_vrnn
+from classifying_vae_lstm_tpu.sampling import generate_cl_vae, generate_cl_vrnn, infer_w_cl_vrnn
+from classifying_vae_lstm_tpu.sampling.generate import (
+    generate_cl_vae_batch,
+    generate_cl_vrnn_batch,
+)
+
+
+def _vae():
+    cfg = cl_vae.Config(original_dim=16, intermediate_dim=12, latent_dim=3,
+                        intermediate_class_dim=8, n_classes=4, use_x_prev=True)
+    return cfg, cl_vae.init(jax.random.PRNGKey(0), cfg)
+
+
+def _vrnn():
+    cfg = cl_vrnn.Config(original_dim=16, intermediate_dim=12, latent_dim=3,
+                         seq_length=4, n_classes=4, use_x_prev=True)
+    return cfg, cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+
+
+def test_cl_vae_generation_binary_and_deterministic():
+    cfg, params = _vae()
+    seed = (jax.random.uniform(jax.random.PRNGKey(1), (16,)) < 0.2).astype(jnp.float32)
+    a = generate_cl_vae(params, cfg, seed, 10, jax.random.PRNGKey(2))
+    b = generate_cl_vae(params, cfg, seed, 10, jax.random.PRNGKey(2))
+    c = generate_cl_vae(params, cfg, seed, 10, jax.random.PRNGKey(3))
+    assert a.shape == (10, 16)
+    assert set(np.unique(np.asarray(a))) <= {0.0, 1.0}
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same key
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0  # different key
+
+
+def test_cl_vae_w_val_conditions_generation():
+    cfg, params = _vae()
+    seed = (jax.random.uniform(jax.random.PRNGKey(1), (16,)) < 0.2).astype(jnp.float32)
+    k = jax.random.PRNGKey(2)
+    a = generate_cl_vae(params, cfg, seed, 10, k, w_val=jnp.array([1.0, 0, 0, 0]))
+    b = generate_cl_vae(params, cfg, seed, 10, k, w_val=jnp.array([0, 0, 0, 1.0]))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_cl_vae_batch_matches_single():
+    cfg, params = _vae()
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (3, 16)) < 0.2).astype(jnp.float32)
+    key = jax.random.PRNGKey(5)
+    batch = generate_cl_vae_batch(params, cfg, seeds, 6, key)
+    keys = jax.random.split(key, 3)
+    for i in range(3):
+        single = generate_cl_vae(params, cfg, seeds[i], 6, keys[i])
+        np.testing.assert_array_equal(np.asarray(batch[i]), np.asarray(single))
+
+
+def test_infer_w_is_simplex_and_chunked():
+    cfg, params = _vrnn()
+    seed = (jax.random.uniform(jax.random.PRNGKey(1), (12, 16)) < 0.2).astype(jnp.float32)
+    w = infer_w_cl_vrnn(params, cfg, seed, jax.random.PRNGKey(2))
+    assert w.shape == (4,)
+    np.testing.assert_allclose(float(w.sum()), 1.0, rtol=1e-5)
+    wd = infer_w_cl_vrnn(params, cfg, seed, jax.random.PRNGKey(2), w_discrete=True)
+    assert set(np.unique(np.asarray(wd))) <= {0.0, 1.0} and float(wd.sum()) == 1.0
+
+
+def test_cl_vrnn_generation_post_seed_only():
+    cfg, params = _vrnn()
+    seed = (jax.random.uniform(jax.random.PRNGKey(1), (8, 16)) < 0.2).astype(jnp.float32)
+    w = jnp.array([0.25, 0.25, 0.25, 0.25])
+    xs = generate_cl_vrnn(params, cfg, seed, 5, jax.random.PRNGKey(2), w)
+    assert xs.shape == (5, 16)  # Xs[nseedsteps:] (cl_vrnn/model.py:60)
+    assert set(np.unique(np.asarray(xs))) <= {0.0, 1.0}
+
+
+def test_cl_vrnn_seed_conditions_output():
+    # compare decoder PROBABILITIES (binary draws under a shared key can
+    # coincide for an untrained model whose probs sit near 0.5)
+    cfg, params = _vrnn()
+    k = jax.random.PRNGKey(2)
+    w = jnp.array([1.0, 0, 0, 0])
+    s1 = jnp.zeros((8, 16))
+    s2 = jnp.ones((8, 16))
+    a = generate_cl_vrnn(params, cfg, s1, 6, k, w, return_probs=True)
+    b = generate_cl_vrnn(params, cfg, s2, 6, k, w, return_probs=True)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
+
+
+def test_cl_vrnn_batch_matches_single():
+    cfg, params = _vrnn()
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (3, 8, 16)) < 0.2).astype(jnp.float32)
+    ws = jax.nn.one_hot(jnp.arange(3), 4)
+    key = jax.random.PRNGKey(5)
+    batch = generate_cl_vrnn_batch(params, cfg, seeds, 4, key, ws)
+    keys = jax.random.split(key, 3)
+    for i in range(3):
+        single = generate_cl_vrnn(params, cfg, seeds[i], 4, keys[i], ws[i])
+        np.testing.assert_array_equal(np.asarray(batch[i]), np.asarray(single))

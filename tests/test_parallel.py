@@ -1,0 +1,79 @@
+"""Data/tensor-parallel tests on the virtual 8-device CPU mesh (SURVEY §4)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from classifying_vae_lstm_tpu.models import cl_vae
+from classifying_vae_lstm_tpu.optim import init_optimizer
+from classifying_vae_lstm_tpu.parallel import make_mesh, make_sharded_trainer, shard_batch
+from classifying_vae_lstm_tpu.train import Trainer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _setup(n=160, batch=40, n_classes=4):
+    cfg = cl_vae.Config(original_dim=16, intermediate_dim=16, latent_dim=2,
+                        intermediate_class_dim=8, n_classes=n_classes)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (n, 16)) < 0.25).astype(jnp.float32)
+    w = jax.nn.one_hot(jnp.arange(n) % n_classes, n_classes)
+    data = {"x": x, "y": x, "w": w}
+    loss_fn = functools.partial(
+        lambda c, p, b, k, klw, cw, wklw: cl_vae.loss_and_metrics(p, c, b, k, klw, cw, wklw), cfg
+    )
+    opt, _ = init_optimizer("adam-wn")
+    return Trainer(loss_fn, opt, batch_size=batch), params, data
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = make_mesh()  # all devices on data
+    assert mesh.shape["data"] == 8
+
+
+def test_sharded_training_matches_single_device():
+    """DP-sharded epoch == unsharded epoch (same key) within fp tolerance."""
+    trainer, params, data = _setup()
+    one = jnp.float32(1.0)
+    key = jax.random.PRNGKey(7)
+
+    opt_state = trainer.optimizer.init(params)
+    p_ref, _, m_ref = trainer.train_epoch(
+        jax.tree.map(jnp.copy, params), opt_state, data, key, one, one, one
+    )
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    trainer2, params2, _ = _setup()
+    params2, sh_data, _ = make_sharded_trainer(trainer2, mesh, params2, data, data)
+    opt_state2 = trainer2.optimizer.init(params2)
+    p_sh, _, m_sh = trainer2.train_epoch(params2, opt_state2, sh_data, key, one, one, one)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_sh["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_tensor_parallel_column_sharding_runs():
+    """DP x TP mesh: column-sharded kernels compile and step."""
+    trainer, params, data = _setup()
+    mesh = make_mesh(n_data=4, n_model=2)
+    params, sh_data, _ = make_sharded_trainer(trainer, mesh, params, data, data)
+    # kernels are column-sharded over 'model'
+    k_sh = params["h_w"]["kernel"].sharding
+    assert "model" in str(k_sh.spec)
+    opt_state = trainer.optimizer.init(params)
+    one = jnp.float32(1.0)
+    p, s, m = trainer.train_epoch(params, opt_state, sh_data, jax.random.PRNGKey(0), one, one, one)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(n_data=8, n_model=1)
+    data = {"x": jnp.zeros((64, 16))}
+    sh = shard_batch(mesh, data)
+    assert len(sh["x"].sharding.device_set) == 8
