@@ -62,12 +62,27 @@ def pianoroll_to_song(roll: np.ndarray, offset: int = 21) -> list:
     return [(np.where(s)[0] + offset).tolist() for s in roll]
 
 
+def _native():
+    """The optional C++ host runtime (lazy import; None when unavailable)."""
+    try:
+        from ..runtime import native
+        return native if native.is_available() else None
+    except Exception:
+        return None
+
+
 def song_to_pianoroll(song, offset: int = 21) -> np.ndarray:
     """List of note-number tuples -> [T, 88] binary roll (reference :31-47).
 
     Octave-shifts the offset if the song under/overflows the 88-key range,
-    exactly once in each direction, like the reference.
+    exactly once in each direction, like the reference. Dispatches to the C++
+    runtime when built (bit-identical; tests/test_runtime.py).
     """
+    nat = _native()
+    if nat is not None and len(song) >= 64:
+        out = nat.song_to_roll_native(song, offset)
+        if out is not None:
+            return out
     all_notes = [n for step in song for n in step]
     if min(all_notes) - offset < 0:
         offset -= 12
@@ -89,6 +104,11 @@ def sliding_window(roll: np.ndarray, seq_length: int, step_length: int = 1) -> n
     starts = sliding_inds(roll.shape[0], seq_length, step_length)
     if len(starts) == 0:
         return np.array([])
+    nat = _native()
+    if nat is not None and len(starts) * seq_length >= 4096:
+        out = nat.sliding_window_native(roll, seq_length, step_length)
+        if out is not None:
+            return out
     # Vectorized gather replaces the reference's per-window Python loop + dstack
     # (same result; the dstack/swapaxes dance in the reference is an identity here).
     idx = starts[:, None] + np.arange(seq_length)[None, :]
