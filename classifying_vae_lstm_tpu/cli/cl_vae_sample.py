@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import PianoData, write_sample
+from ..data import PianoData, write_sample, write_sample_wav
 from ..data.pianoroll import to_categorical
 from ..sampling import generate_cl_vae
 from . import common
@@ -33,6 +33,8 @@ def make_sample(P, params, cfg, margs, args, key, run_name):
         params, cfg, jnp.asarray(x_seed), args.t, k_gen, w_val=w_val, use_z_prior=args.use_z_prior
     )
     write_sample(np.asarray(sample), args.sample_dir, run_name, True)
+    if args.write_wav:
+        write_sample_wav(np.asarray(sample), args.sample_dir, run_name, True)
 
 
 def sample(args):
@@ -63,6 +65,8 @@ def build_parser():
     parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,
                         help="file of training data (.pickle)")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
+    parser.add_argument("--write_wav", action="store_true",
+                        help="also render samples to .wav (extension; BASELINE config 5)")
     return parser
 
 

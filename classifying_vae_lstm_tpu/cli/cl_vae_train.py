@@ -61,6 +61,7 @@ def train(args):
         pre = x0 @ params["h_w"]["kernel"] + params["h_w"]["bias"]
         params = data_based_init(params, {"h_w": pre})
 
+    params, resume_kwargs = common.maybe_resume(args, ckpt_path, optimizer, params)
     loss_fn = functools.partial(_loss, cfg)
     trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
     log_fn = _make_log_fn(args) if args.do_log else None
@@ -77,6 +78,9 @@ def train(args):
         patience=args.patience,
         min_epoch=min_epoch,
         checkpoint_path=ckpt_path,
+        save_last=args.save_last or args.resume,
+        trace_dir=args.trace_dir,
+        **resume_kwargs,
     )
     print({k: round(v, 4) for k, v in best_loss.items()})
     return best_params, best_loss
@@ -123,6 +127,12 @@ def build_parser():
                         help="file of training data (.pickle)")
     # extensions over the reference CLI
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <run>.last.npz with optimizer state (extension)")
+    parser.add_argument("--save_last", action="store_true",
+                        help="write <run>.last.npz (+opt state) every epoch for resume (extension)")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of one epoch (extension)")
     parser.add_argument("--data_init", action="store_true",
                         help="real weight-norm data-dependent init (reference's was a no-op)")
     return parser

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import PianoData, write_sample
+from ..data import PianoData, write_sample, write_sample_wav
 from ..data.pianoroll import to_categorical
 from ..sampling import infer_w_cl_vrnn
 from ..sampling.generate import generate_cl_vrnn_batch
@@ -55,6 +55,8 @@ def gen_samples(P, params, cfg, margs, args):
     for j, i in enumerate(inds):
         write_sample(np.asarray(samples[j]), args.sample_dir, f"{args.run_name}_{j}", is_jsb)
         write_sample(np.asarray(seeds[j]), args.sample_dir, f"{args.run_name}{j}_seed_{i}", is_jsb)
+        if args.write_wav:
+            write_sample_wav(np.asarray(samples[j]), args.sample_dir, f"{args.run_name}_{j}", is_jsb)
 
 
 def sample(args):
@@ -78,6 +80,8 @@ def build_parser():
     parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,
                         help="file of training data (.pickle)")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
+    parser.add_argument("--write_wav", action="store_true",
+                        help="also render samples to .wav (extension; BASELINE config 5)")
     return parser
 
 

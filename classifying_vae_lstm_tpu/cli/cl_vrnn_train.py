@@ -55,6 +55,7 @@ def train(args):
     data = common.build_cl_vrnn_datasets(P, args.n_classes, args.use_x_prev)
     print((P.x_train.shape, P.y_train.shape))
 
+    params, resume_kwargs = common.maybe_resume(args, ckpt_path, optimizer, params)
     loss_fn = functools.partial(_loss, cfg)
     trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
     params, best_params, history, _ = fit(
@@ -71,6 +72,9 @@ def train(args):
         min_epoch=min_epoch_cb,
         checkpoint_path=ckpt_path,
         log_fn=_make_log_fn(args) if args.do_log else None,
+        save_last=args.save_last or args.resume,
+        trace_dir=args.trace_dir,
+        **resume_kwargs,
     )
     val_losses = history.get("val_loss", [])
     masked = [v if i >= min_epoch_best else np.inf for i, v in enumerate(val_losses)]
@@ -120,6 +124,12 @@ def build_parser():
                         help="file of training data (.pickle)")
     # extensions over the reference CLI
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <run>.last.npz with optimizer state (extension)")
+    parser.add_argument("--save_last", action="store_true",
+                        help="write <run>.last.npz (+opt state) every epoch for resume (extension)")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of one epoch (extension)")
     parser.add_argument("--lstm_backend", type=str, default="xla", choices=["xla", "pallas"],
                         help="LSTM sequence backend (extension)")
     return parser

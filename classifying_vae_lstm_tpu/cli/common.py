@@ -14,7 +14,7 @@ import numpy as np
 from ..data import PianoData
 from ..data.pianoroll import to_categorical
 from ..models import cl_vae, cl_vrnn
-from ..train.checkpoint import load_checkpoint, load_model_args
+from ..train.checkpoint import load_checkpoint, load_model_args, load_opt_state
 
 DEFAULT_TRAIN_FILE = "/root/reference/data/input/JSB Chorales_Cs.pickle"
 
@@ -102,6 +102,30 @@ def cl_vrnn_config_from_args(margs: dict) -> cl_vrnn.Config:
         w_log_var_prior=margs.get("w_log_var_prior", 0.0),
         lstm_backend=margs.get("lstm_backend", "xla"),
     )
+
+
+def maybe_resume(args, ckpt_path: str, optimizer, params):
+    """Resume support (extension): load ``<run>.last.npz`` + optimizer state.
+
+    Returns (params, fit_kwargs). With ``--resume`` and an existing last
+    checkpoint, params/opt_state/epoch are restored so training continues
+    exactly where it stopped — the mid-training resume the reference lacks
+    (SURVEY §5: its checkpoints are weights-only load-for-sampling).
+    """
+    import os
+
+    last = ckpt_path.replace(".npz", ".last.npz")
+    opt_file = last.replace(".npz", ".opt.npz")
+    if not getattr(args, "resume", False) or not os.path.exists(last):
+        return params, {}
+    params = load_checkpoint(last)
+    kwargs = {}
+    if os.path.exists(opt_file):
+        template = optimizer.init(params)
+        opt_state, epoch = load_opt_state(opt_file, template)
+        kwargs = {"opt_state": opt_state, "initial_epoch": epoch}
+        print(f"resuming from {last} at epoch {epoch}")
+    return params, kwargs
 
 
 def load_model(model_file: str, family: str, no_x_prev: bool = False):

@@ -9,6 +9,7 @@ from .pianoroll import (
     songs_to_pianoroll,
 )
 from .midi import MidiWriter, write_sample
+from .wav import render_roll, write_sample_wav
 
 __all__ = [
     "PianoData",
@@ -18,7 +19,9 @@ __all__ = [
     "relative_major",
     "sliding_inds",
     "sliding_window",
+    "render_roll",
     "song_to_pianoroll",
     "songs_to_pianoroll",
     "write_sample",
+    "write_sample_wav",
 ]

@@ -46,11 +46,18 @@ def _unflatten(flat):
     return tree
 
 
-def save_checkpoint(path_npz, params, opt_state=None):
-    """Write params (and optionally optimizer state) as .npz."""
+def save_checkpoint(path_npz, params, opt_state=None, epoch: int | None = None):
+    """Write params (and optionally optimizer state + epoch) as .npz.
+
+    The opt-state file enables true mid-training resume — an extension over
+    the reference, whose checkpoints are weights-only load-for-sampling
+    (SURVEY §5 checkpoint/resume).
+    """
     np.savez(path_npz, **_flatten(params))
     if opt_state is not None:
-        flat = {f"{i}/{k}": v for i, leaf in enumerate(jax.tree.leaves(opt_state)) for k, v in [("leaf", np.asarray(leaf))]}
+        flat = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(jax.tree.leaves(opt_state))}
+        if epoch is not None:
+            flat["__epoch__"] = np.asarray(epoch)
         np.savez(path_npz.replace(".npz", ".opt.npz"), **flat)
 
 
@@ -58,6 +65,21 @@ def load_checkpoint(path_npz):
     """Read a param pytree from .npz."""
     with np.load(path_npz) as f:
         return _unflatten({k: f[k] for k in f.files})
+
+
+def load_opt_state(path_opt_npz, template_state):
+    """Read optimizer state saved by :func:`save_checkpoint`.
+
+    ``template_state`` (e.g. ``optimizer.init(params)``) provides the pytree
+    structure. Returns (opt_state, epoch) where epoch is the epoch the
+    checkpoint was written at (0 if unrecorded).
+    """
+    with np.load(path_opt_npz) as f:
+        epoch = int(f["__epoch__"]) if "__epoch__" in f.files else 0
+        n = len([k for k in f.files if k.startswith("leaf_")])
+        leaves = [jnp.asarray(f[f"leaf_{i}"]) for i in range(n)]
+    structure = jax.tree.structure(template_state)
+    return jax.tree.unflatten(structure, leaves), epoch
 
 
 def save_model_in_pieces(params, args, model_dir=None, run_name=None):

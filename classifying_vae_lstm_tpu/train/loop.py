@@ -115,33 +115,57 @@ def fit(
     checkpoint_path: str | None = None,
     verbose: bool = True,
     log_fn: Callable | None = None,
+    opt_state=None,
+    initial_epoch: int = 0,
+    save_last: bool = False,
+    trace_dir: str | None = None,
 ):
     """Run the full training schedule; returns (params, history, best_loss).
 
     ``min_epoch`` gates checkpointing/early-stop exactly like the reference
     (``max(kl_anneal, w_kl_anneal)+1``, ``cl_vae/train.py:38-39``). The best
     epoch minimizes val_loss over epochs >= min_epoch (``cl_vae/train.py:72``).
+
+    Extensions over the reference: pass ``opt_state``/``initial_epoch`` (from
+    :func:`.checkpoint.load_opt_state`) to resume mid-training; ``save_last``
+    writes ``<run>.last.npz`` (+ optimizer state) every epoch for resume;
+    ``trace_dir`` captures a ``jax.profiler`` trace of one post-compile epoch
+    (the reference's TensorBoard-callback analog, SURVEY §5 tracing).
     """
     # train_epoch donates its params/opt_state buffers; copy so the caller's
     # arrays (and any later fit() on the same pytree) stay valid
     params = jax.tree.map(jnp.copy, params)
-    opt_state = trainer.optimizer.init(params)
+    if opt_state is None:
+        opt_state = trainer.optimizer.init(params)
     kl_sched = AnnealSchedule(0.1, 1.0, kl_anneal)
     w_kl_sched = AnnealSchedule(0.0, 1.0, w_kl_anneal)
     stopper = EarlyStoppingAfterEpoch(min_epoch=min_epoch, patience=patience)
     ckpt = CheckpointPolicy(min_epoch=min_epoch)
     history: dict[str, list] = {}
     best_params = params
+    traced = False
 
-    for epoch in range(num_epochs):
+    for epoch in range(initial_epoch, num_epochs):
         t0 = time.perf_counter()
         kl_w = jnp.float32(kl_sched(epoch))
         w_kl_w = jnp.float32(w_kl_sched(epoch))
         key, k_train, k_val = jax.random.split(key, 3)
-        params, opt_state, m = trainer.train_epoch(
-            params, opt_state, train_data, k_train, kl_w, jnp.float32(class_weight), w_kl_w
-        )
-        vm = trainer.eval_epoch(params, val_data, k_val, kl_w, jnp.float32(class_weight), w_kl_w)
+
+        def run_epoch():
+            p, s, m = trainer.train_epoch(
+                params, opt_state, train_data, k_train, kl_w, jnp.float32(class_weight), w_kl_w
+            )
+            vm = trainer.eval_epoch(p, val_data, k_val, kl_w, jnp.float32(class_weight), w_kl_w)
+            jax.block_until_ready(vm)
+            return p, s, m, vm
+
+        # trace one post-compile epoch (the first epoch includes compilation)
+        if trace_dir is not None and epoch > initial_epoch and not traced:
+            traced = True
+            with jax.profiler.trace(trace_dir):
+                params, opt_state, m, vm = run_epoch()
+        else:
+            params, opt_state, m, vm = run_epoch()
         logs = {k: float(v) for k, v in m.items()}
         logs.update({f"val_{k}": float(v) for k, v in vm.items()})
         for k, v in logs.items():
@@ -160,6 +184,10 @@ def fit(
             best_params = jax.tree.map(jnp.copy, params)
             if checkpoint_path is not None:
                 save_checkpoint(checkpoint_path, best_params)
+        if save_last and checkpoint_path is not None:
+            save_checkpoint(
+                checkpoint_path.replace(".npz", ".last.npz"), params, opt_state, epoch + 1
+            )
         if patience > 0 and stopper.should_stop(epoch, logs["val_loss"]):
             break
 
