@@ -85,5 +85,9 @@ def build_parser():
     return parser
 
 
-if __name__ == "__main__":
+def _main():
     sample(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    _main()

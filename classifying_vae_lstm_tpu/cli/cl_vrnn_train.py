@@ -135,5 +135,9 @@ def build_parser():
     return parser
 
 
-if __name__ == "__main__":
+def _main():
     train(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    _main()
