@@ -34,7 +34,14 @@ def train(args):
     if args.seq_length > 1:
         args.original_dim = common.prune_and_flatten_cl_vae(P, args.seq_length)
 
-    args.n_classes = int(len(np.unique(P.train_song_keys)))
+    if args.vanilla:
+        # vanilla VAE baseline (BASELINE config 2): no key latent — w collapses
+        # to the constant [1.0] simplex point and its losses vanish
+        args.n_classes = 1
+        for split in ("train", "valid", "test"):
+            setattr(P, f"{split}_song_keys", np.zeros_like(getattr(P, f"{split}_song_keys")))
+    else:
+        args.n_classes = int(len(np.unique(P.train_song_keys)))
     assert not (args.predict_next and args.use_x_prev), "Can't use --predict_next if using --use_x_prev"
     if args.kl_anneal > 0:
         assert args.kl_anneal <= args.num_epochs, "invalid kl_anneal"
@@ -135,6 +142,8 @@ def build_parser():
                         help="capture a jax.profiler trace of one epoch (extension)")
     parser.add_argument("--data_init", action="store_true",
                         help="real weight-norm data-dependent init (reference's was a no-op)")
+    parser.add_argument("--vanilla", action="store_true",
+                        help="vanilla VAE: drop the key latent (extension; BASELINE config 2)")
     return parser
 
 

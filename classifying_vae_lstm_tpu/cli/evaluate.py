@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import PianoData
-from ..evaluation import iw_nll_cl_vae, iw_nll_cl_vrnn
+from ..evaluation.nll import iw_nll_dataset
 from . import common
 
 
@@ -29,27 +29,21 @@ def evaluate(args):
         if margs["seq_length"] > 1:
             common.prune_and_flatten_cl_vae(P, margs["seq_length"])
         data = common.build_cl_vae_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]
-        nll_fn = lambda x, y, xp, k: iw_nll_cl_vae(params, cfg, x, y, k, args.n_samples, xp)
     else:
         P = PianoData(args.train_file, batch_size=args.batch_size, seq_length=margs["seq_length"],
                       return_y_next=margs.get("predict_next", False) or margs.get("use_x_prev", False),
                       return_y_hist=True, squeeze_x=False, squeeze_y=False)
         data = common.build_cl_vrnn_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]
-        nll_fn = lambda x, y, xp, k: iw_nll_cl_vrnn(params, cfg, x, y, k, args.n_samples, xp)
 
-    key = jax.random.PRNGKey(args.seed)
-    n = data["x"].shape[0]
-    bs = args.batch_size
-    nlls = []
-    for i in range(0, n - bs + 1, bs):
-        key, k = jax.random.split(key)
-        xp = data["x_prev"][i : i + bs] if "x_prev" in data else None
-        nlls.append(np.asarray(nll_fn(data["x"][i : i + bs], data["y"][i : i + bs], xp, k)))
-    nll = float(np.concatenate(nlls).mean())
+    data = {k: v for k, v in data.items() if k in ("x", "y", "x_prev")}
+    nlls = np.asarray(
+        iw_nll_dataset(params, cfg, data, jax.random.PRNGKey(args.seed),
+                       args.n_samples, args.batch_size, args.family)
+    )
     out = {
-        "test_nll_nats_per_frame": round(nll, 4),
+        "test_nll_nats_per_frame": round(float(nlls.mean()), 4),
         "n_importance_samples": args.n_samples,
-        "n_test_examples": len(nlls) * bs,
+        "n_test_examples": int(len(nlls)),
         "family": args.family,
         "train_file": args.train_file,
     }

@@ -102,3 +102,28 @@ def iw_nll_cl_vrnn(params, cfg: cl_vrnn.Config, x, y, key, n_samples: int = 64, 
     m = jnp.max(log_ws, axis=0)
     ll = m + jnp.log(jnp.mean(jnp.exp(log_ws - m[None, :]), axis=0))
     return -ll / cfg.seq_length
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "batch_size", "family"))
+def iw_nll_dataset(params, cfg, data: dict, key, n_samples: int, batch_size: int,
+                   family: str = "cl_vae"):
+    """Whole-test-set NLL as ONE device program: ``lax.scan`` over batches.
+
+    ``data`` holds ``x``/``y`` (and optionally ``x_prev``) arrays [N, ...];
+    the N % batch_size remainder is dropped (the reference's batch-truncation
+    convention). Returns per-example NLLs [nb * batch_size].
+    """
+    fn = iw_nll_cl_vae if family == "cl_vae" else iw_nll_cl_vrnn
+    n = data["x"].shape[0]
+    nb = n // batch_size
+    batched = {k: v[: nb * batch_size].reshape((nb, batch_size) + v.shape[1:])
+               for k, v in data.items()}
+    keys = jax.random.split(key, nb)
+
+    def step(_, xs):
+        batch, k = xs
+        nll = fn(params, cfg, batch["x"], batch["y"], k, n_samples, batch.get("x_prev"))
+        return None, nll
+
+    _, nlls = jax.lax.scan(step, None, (batched, keys))
+    return nlls.reshape(-1)
