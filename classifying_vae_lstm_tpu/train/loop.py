@@ -99,6 +99,38 @@ class Trainer:
         self.train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
         self.eval_epoch = jax.jit(eval_epoch)
 
+        def train_step(params, opt_state, batch, key, kl_w, class_w, w_kl_w):
+            (_, metrics), grads = grad_fn(params, batch, key, kl_w, class_w, w_kl_w)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def train_epoch_streaming(self, params, opt_state, host_data: dict, key,
+                              kl_w, class_w, w_kl_w, rng: "np.random.Generator",
+                              prefetch: int = 2):
+        """Host-streaming epoch for corpora that don't fit in HBM.
+
+        Shuffles/slices batches on host and double-buffers them onto the
+        device (:mod:`..data.loader`); one jitted ``train_step`` per batch.
+        Semantics match :meth:`train_epoch` (shuffle -> step per minibatch);
+        only the data residency differs.
+        """
+        from ..data.loader import batch_iterator, device_prefetch
+
+        metrics_acc = []
+        it = device_prefetch(batch_iterator(host_data, self.batch_size, rng), prefetch)
+        for batch in it:
+            key, k = jax.random.split(key)
+            params, opt_state, m = self.train_step(params, opt_state, batch, k, kl_w, class_w, w_kl_w)
+            metrics_acc.append(m)
+        mean = {
+            k: jnp.mean(jnp.stack([m[k] for m in metrics_acc]))
+            for k in metrics_acc[0]
+        }
+        return params, opt_state, mean
+
 
 def fit(
     trainer: Trainer,
