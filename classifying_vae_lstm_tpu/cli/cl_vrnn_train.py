@@ -57,6 +57,14 @@ def train(args):
 
     params, resume_kwargs = common.maybe_resume(args, ckpt_path, optimizer, params)
     loss_fn = functools.partial(_loss, cfg)
+    if args.check_numerics:
+        from ..train.debug import check_first_batch
+        import jax.numpy as jnp
+
+        first = {k: v[: args.batch_size] for k, v in data["train"].items()}
+        check_first_batch(loss_fn, params, first, jax.random.PRNGKey(0),
+                          jnp.float32(1.0), jnp.float32(args.class_weight), jnp.float32(1.0))
+        print("check_numerics: first batch loss/grads finite")
     trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
     params, best_params, history, _ = fit(
         trainer,
@@ -130,6 +138,8 @@ def build_parser():
                         help="write <run>.last.npz (+opt state) every epoch for resume (extension)")
     parser.add_argument("--trace_dir", type=str, default=None,
                         help="capture a jax.profiler trace of one epoch (extension)")
+    parser.add_argument("--check_numerics", action="store_true",
+                        help="fail fast on NaN/Inf in the first batch's loss/grads (extension)")
     parser.add_argument("--lstm_backend", type=str, default="xla", choices=["xla", "pallas"],
                         help="LSTM sequence backend (extension)")
     return parser
