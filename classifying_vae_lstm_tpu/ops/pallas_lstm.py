@@ -22,6 +22,12 @@ forward saves (h_seq, c_seq) from the kernel and whose backward is an XLA
 reverse-time scan recomputing the gates — forward fusion is where the win is;
 the backward is matmul-bound and XLA handles it well.
 
+Measured on TPU v5e at reference sizes (B=200, T=16, H=88): forward ~1.9x the
+XLA scan (350 us vs 648 us); full training step is a wash (~1220 vs ~1230
+steps/s — the backward recompute offsets the forward win) with a much longer
+compile. Default backend therefore stays 'xla' for training; 'pallas' pays off
+for forward-dominated paths (evaluation, encoder-only serving).
+
 Falls back to interpret mode automatically off-TPU so tests run on the CPU
 mesh. Select with ``lstm_backend='pallas'`` (cl_vrnn Config / CLI flag).
 """
