@@ -132,3 +132,30 @@ def test_cl_vrnn_sample_key_filter(jsb_cs_path, tmp_path):
     ])
     cl_vrnn_sample.sample(sargs)
     assert os.path.exists(tmp_path / "kf_0.mid")
+
+
+@pytest.mark.slow
+def test_cl_vae_seq_concat_mode(jsb_cs_path, tmp_path):
+    """--seq_length > 1: silent pitch columns pruned, windows flattened
+    (reference cl_vae/train.py:21-30)."""
+    args = cl_vae_train.build_parser().parse_args([
+        "sq", "--num_epochs", "2", "--patience", "0", "--seq_length", "4",
+        "--intermediate_dim", "32", "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    _, best_loss = cl_vae_train.train(args)
+    assert np.isfinite(best_loss["val_loss"])
+    margs = json.load(open(tmp_path / "sq.json"))
+    assert margs["original_dim"] % 4 == 0
+    assert margs["original_dim"] < 88 * 4  # some pitch columns were pruned
+
+
+@pytest.mark.slow
+def test_cl_vae_vanilla_mode(jsb_cs_path, tmp_path):
+    """--vanilla: n_classes == 1, w losses identically zero (BASELINE config 2)."""
+    args = cl_vae_train.build_parser().parse_args([
+        "vn", "--num_epochs", "2", "--patience", "0", "--vanilla",
+        "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    _, best_loss = cl_vae_train.train(args)
+    assert json.load(open(tmp_path / "vn.json"))["n_classes"] == 1
+    assert best_loss["w_loss"] == 0.0 and best_loss["w2_loss"] == 0.0

@@ -98,3 +98,18 @@ def test_cl_vrnn_batch_matches_single():
     for i in range(3):
         single = generate_cl_vrnn(params, cfg, seeds[i], 4, keys[i], ws[i])
         np.testing.assert_array_equal(np.asarray(batch[i]), np.asarray(single))
+
+
+def test_reference_sampler_api():
+    """sample_x/sample_w/sample_z wrappers (reference cl_vae/model.py:44-74)."""
+    from classifying_vae_lstm_tpu.sampling import sample_w, sample_x, sample_z
+
+    k = jax.random.PRNGKey(0)
+    x = sample_x(k, jnp.full((5, 88), 0.5))
+    assert set(np.unique(np.asarray(x))) <= {0.0, 1.0}
+    w = sample_w(k, (jnp.zeros((2, 3)), jnp.zeros((2, 3))))
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-5)
+    w0 = sample_w(k, (jnp.zeros((2, 3)), jnp.zeros((2, 3))), add_noise=False)
+    np.testing.assert_allclose(np.asarray(w0), 0.25)
+    z = sample_z(k, (jnp.ones((4, 2)), jnp.full((4, 2), -20.0)))
+    np.testing.assert_allclose(np.asarray(z), 1.0, atol=1e-3)
