@@ -1,0 +1,130 @@
+"""HTTP serving frontend for trained cl_vrnn models.
+
+    python -m classifying_vae_lstm_tpu.cli.serve -i data/models/run.npz --port 8787
+
+Endpoints (JSON):
+  GET  /healthz          -> {"ok": true}
+  GET  /stats            -> engine counters (requests, songs, compiles, ...)
+  POST /generate         -> {"n": 2, "t": 64, "infer_w": true, "key": "C",
+                             "format": "roll" | "midi_base64"}
+                            returns rolls (nested lists) or base64 .mid files
+
+Deployment counterpart the reference lacks: generation is the compiled
+whole-song scan, bucketed and pre-warmed by :class:`..serving.GenerationEngine`
+so steady-state requests never trigger XLA compilation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+import tempfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..data import PianoData
+from ..data.midi import MidiWriter
+from ..serving import GenerationEngine
+from . import common
+
+
+def build_engine(args) -> tuple[GenerationEngine, dict]:
+    params, cfg, margs = common.load_model(args.model_file, "cl_vrnn")
+    P = PianoData(args.train_file, batch_size=1, seq_length=args.seed_len, squeeze_x=False)
+    engine = GenerationEngine(params, cfg, P.x_test, P.test_song_keys)
+    key_map = dict(P.key_map)
+    return engine, key_map
+
+
+def _midi_b64(roll, is_jsb: bool) -> str:
+    if is_jsb:
+        roll = np.repeat(roll, 2, axis=0)
+    with tempfile.NamedTemporaryFile(suffix=".mid", delete=False) as f:
+        path = f.name
+    try:
+        MidiWriter().dump_sequence_to_midi(roll, path)
+        with open(path, "rb") as f:
+            return base64.b64encode(f.read()).decode()
+    finally:
+        os.unlink(path)
+
+
+def make_handler(engine: GenerationEngine, key_map: dict, is_jsb: bool):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, engine.stats)
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                n = int(req.get("n", 1))
+                t = int(req.get("t", 64))
+                fmt = req.get("format", "roll")
+                key_idx = key_map.get(req["key"]) if "key" in req else None
+                if "key" in req and key_idx is None:
+                    self._send(400, {"error": f"unknown key {req['key']!r}",
+                                     "known": sorted(key_map)})
+                    return
+                rolls = engine.generate(n=n, nsteps=t, key_name_index=key_idx,
+                                        infer_w=bool(req.get("infer_w", True)))
+                if fmt == "midi_base64":
+                    out = {"midi_base64": [_midi_b64(r, is_jsb) for r in rolls]}
+                else:
+                    out = {"rolls": rolls.astype(int).tolist()}
+                self._send(200, {"n": n, "t": t, **out})
+            except Exception as e:  # noqa: BLE001 — report to client
+                self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+def serve(args):
+    engine, key_map = build_engine(args)
+    engine.warmup()
+    is_jsb = "jsb" in args.train_file.lower()
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(engine, key_map, is_jsb))
+    print(f"serving on http://{args.host}:{args.port} (keys: {sorted(key_map)})")
+    httpd.serve_forever()
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-i", "--model_file", type=str, required=True)
+    parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,
+                        help="corpus providing seed windows")
+    parser.add_argument("--seed_len", type=int, default=32, help="seed window length")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8787)
+    return parser
+
+
+def _main():
+    serve(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    _main()

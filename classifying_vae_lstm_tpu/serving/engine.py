@@ -1,0 +1,118 @@
+"""Serving engine: pre-compiled, bucketed, batched music generation.
+
+Production serving needs stable latency, which under XLA means stable shapes:
+every (batch, nsteps) pair is a separate compilation. The engine rounds
+requests up to a fixed grid of buckets (powers of two), pre-warms the buckets
+at startup, and pads/slices at the edges — so steady-state requests never
+compile. Generation itself is the compiled whole-song scan from
+:mod:`..sampling.generate` (one device program per request, `vmap`-batched).
+
+The reference has no serving story at all (its sampler crosses Python<->TF 2-3
+times per generated timestep, SURVEY §3.5); this module is the deployment
+counterpart the rebuild adds.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import cl_vrnn
+from ..sampling.generate import generate_cl_vrnn_batch, infer_w_cl_vrnn
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class GenerationEngine:
+    """Thread-safe cl_vrnn generation service over a loaded checkpoint."""
+
+    BATCH_BUCKETS = (1, 4, 16, 64)
+    STEP_BUCKETS = (32, 64, 128, 256)
+
+    def __init__(self, params, cfg: cl_vrnn.Config, seed_bank: np.ndarray,
+                 seed_keys: np.ndarray | None = None, key=None):
+        """seed_bank: [N, Tseed, D] test-set windows used to seed generation;
+        seed_keys: optional integer key label per seed (for key-conditioned
+        requests and true-key conditioning)."""
+        self.params = params
+        self.cfg = cfg
+        self.seed_bank = np.asarray(seed_bank, dtype=np.float32)
+        self.seed_keys = seed_keys
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "songs": 0, "gen_seconds": 0.0, "compiles": 0}
+        self._compiled: set = set()
+
+    def _next_key(self):
+        with self._lock:
+            self._key, k = jax.random.split(self._key)
+            return k
+
+    def warmup(self, batch_buckets=None, step_buckets=None):
+        """Pre-compile the (batch, nsteps) grid so requests never compile."""
+        for b in batch_buckets or self.BATCH_BUCKETS[:2]:
+            for t in step_buckets or self.STEP_BUCKETS[:2]:
+                self._generate_bucket(b, t)
+
+    def _generate_bucket(self, b: int, t: int):
+        idx = np.arange(b) % len(self.seed_bank)
+        seeds = jnp.asarray(self.seed_bank[idx])
+        ws = jnp.full((b, self.cfg.n_classes), 1.0 / self.cfg.n_classes)
+        tag = (b, t)
+        if tag not in self._compiled:
+            self._compiled.add(tag)
+            self.stats["compiles"] += 1
+        out = generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
+        return jax.block_until_ready(out)
+
+    def generate(self, n: int = 1, nsteps: int = 64, key_name_index: int | None = None,
+                 infer_w: bool = True, seed_indices=None) -> np.ndarray:
+        """Generate n songs of nsteps frames; returns [n, nsteps, 88].
+
+        Requests are padded up to bucket sizes; the extra songs/steps are
+        sliced off before returning.
+        """
+        t0 = time.perf_counter()
+        b = _bucket(n, self.BATCH_BUCKETS)
+        t = _bucket(nsteps, self.STEP_BUCKETS)
+
+        if seed_indices is None:
+            rng = np.random.default_rng(int(self._next_key()[0]))
+            pool = np.arange(len(self.seed_bank))
+            if key_name_index is not None and self.seed_keys is not None:
+                pool = pool[self.seed_keys == key_name_index]
+                if len(pool) == 0:
+                    raise ValueError(f"no seeds with key index {key_name_index}")
+            seed_indices = rng.choice(pool, size=b, replace=len(pool) < b)
+        else:
+            seed_indices = np.resize(np.asarray(seed_indices), b)
+
+        seeds = jnp.asarray(self.seed_bank[seed_indices])
+        if infer_w:
+            keys = jax.random.split(self._next_key(), b)
+            ws = jax.vmap(lambda s, k: infer_w_cl_vrnn(self.params, self.cfg, s, k))(seeds, keys)
+        else:
+            if self.seed_keys is None:
+                raise ValueError("true-key conditioning needs seed_keys")
+            ws = jax.nn.one_hot(jnp.asarray(self.seed_keys[seed_indices]), self.cfg.n_classes)
+
+        tag = (b, t)
+        if tag not in self._compiled:
+            self._compiled.add(tag)
+            self.stats["compiles"] += 1
+        out = generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
+        out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["songs"] += n
+            self.stats["gen_seconds"] += time.perf_counter() - t0
+        return out

@@ -1,0 +1,98 @@
+"""Serving tests: bucketed engine + HTTP frontend end-to-end."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from classifying_vae_lstm_tpu.models import cl_vrnn
+from classifying_vae_lstm_tpu.serving import GenerationEngine
+from classifying_vae_lstm_tpu.serving.engine import _bucket
+
+
+def _engine(n_seeds=6, seed_len=8):
+    cfg = cl_vrnn.Config(original_dim=16, intermediate_dim=12, latent_dim=2,
+                         seq_length=4, n_classes=3)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    bank = (rng.random((n_seeds, seed_len, 16)) < 0.2).astype(np.float32)
+    keys = np.arange(n_seeds) % 3
+    return GenerationEngine(params, cfg, bank, keys)
+
+
+def test_bucketing():
+    assert _bucket(1, (1, 4, 16)) == 1
+    assert _bucket(3, (1, 4, 16)) == 4
+    assert _bucket(17, (1, 4, 16)) == 16  # clamps to largest
+
+
+def test_generate_shapes_and_padding():
+    eng = _engine()
+    out = eng.generate(n=3, nsteps=40)  # pads to bucket (4, 64), slices back
+    assert out.shape == (3, 40, 16)
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    assert eng.stats["requests"] == 1 and eng.stats["songs"] == 3
+
+
+def test_generate_true_key_conditioning():
+    eng = _engine()
+    out = eng.generate(n=2, nsteps=32, infer_w=False)
+    assert out.shape == (2, 32, 16)
+
+
+def test_generate_key_filter():
+    eng = _engine()
+    out = eng.generate(n=2, nsteps=32, key_name_index=1)
+    assert out.shape == (2, 32, 16)
+    with pytest.raises(ValueError):
+        eng.generate(n=1, nsteps=32, key_name_index=99)
+
+
+def test_bucket_reuse_no_recompile_counter():
+    eng = _engine()
+    eng.generate(n=1, nsteps=32)
+    c = eng.stats["compiles"]
+    eng.generate(n=1, nsteps=30)  # same (1, 32) bucket
+    assert eng.stats["compiles"] == c
+
+
+def test_http_server_roundtrip(tmp_path, jsb_cs_path):
+    """Boot the real HTTP frontend on a trained-shape model and hit it."""
+    from http.server import ThreadingHTTPServer
+
+    from classifying_vae_lstm_tpu.cli.serve import make_handler
+
+    eng = _engine()
+    key_map = {"C": 0, "E-": 1}
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng, key_map, True))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r)["ok"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"n": 2, "t": 16, "format": "roll"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        assert len(out["rolls"]) == 2
+        assert len(out["rolls"][0]) == 16
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"n": 1, "t": 8, "format": "midi_base64", "key": "C"}).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        import base64
+
+        assert base64.b64decode(out["midi_base64"][0])[:4] == b"MThd"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            assert json.load(r)["requests"] >= 2
+    finally:
+        httpd.shutdown()
