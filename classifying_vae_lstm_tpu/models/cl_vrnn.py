@@ -52,6 +52,8 @@ class Config:
     w_log_var_prior: float = 0.0
     dropout: float = 0.0
     lstm_backend: str = "xla"  # 'xla' (lax.scan) or 'pallas' (fused kernel)
+    remat: bool = False  # jax.checkpoint the scan body (long-context memory)
+    bf16_compute: bool = False  # bf16 matmul operands, f32 accumulation
 
 
 def init(key, cfg: Config) -> dict:
@@ -93,7 +95,10 @@ def encode_z_sequence(params, cfg: Config, x, w, h0=None, c0=None, dropout_key=N
     if cfg.dropout > 0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1 - cfg.dropout, xw.shape)
         xw = jnp.where(keep, xw / (1 - cfg.dropout), 0.0)
-    h_seq, state = lstm_sequence(params["encoder_h"], xw, h0, c0, backend=cfg.lstm_backend)
+    h_seq, state = lstm_sequence(
+        params["encoder_h"], xw, h0, c0, backend=cfg.lstm_backend, remat=cfg.remat,
+        compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
+    )
     return dense(params["Z_mean"], h_seq), dense(params["Z_log_var"], h_seq), state
 
 
@@ -104,7 +109,10 @@ def decode_sequence(params, cfg: Config, z, w, x_prev=None, h0=None, c0=None, dr
     if cfg.dropout > 0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1 - cfg.dropout, xpz.shape)
         xpz = jnp.where(keep, xpz / (1 - cfg.dropout), 0.0)
-    h_seq, state = lstm_sequence(params["decoder_h"], xpz, h0, c0, backend=cfg.lstm_backend)
+    h_seq, state = lstm_sequence(
+        params["decoder_h"], xpz, h0, c0, backend=cfg.lstm_backend, remat=cfg.remat,
+        compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
+    )
     return dense(params["X_decoded_mean"], h_seq, jax.nn.sigmoid), state
 
 

@@ -65,12 +65,24 @@ def lstm_sequence(
     activation=jnp.tanh,
     backend: str = "xla",
     unroll: int = 4,
+    remat: bool = False,
+    compute_dtype=None,
 ):
     """Run an LSTM over a full sequence. x: [B, T, in] -> h_seq [B, T, H].
 
     Returns ``(h_seq, (h_T, c_T))``. The input projection for all timesteps is
     one batched matmul; the scan carries (h, c) and is unrolled ``unroll`` steps
     to amortize loop overhead on TPU.
+
+    Scaling knobs (defaults preserve reference parity):
+
+    * ``remat=True`` wraps the scan body in ``jax.checkpoint`` — BPTT memory
+      drops from O(T) activations to O(1) per step at the cost of recompute,
+      the lever for long-context training (SURVEY §2: the RNN analog of
+      blockwise/context-parallel scaling);
+    * ``compute_dtype=jnp.bfloat16`` casts the matmul operands (accumulation
+      stays f32 via ``preferred_element_type``) — the MXU-native mode for
+      scaled-up hidden sizes.
     """
     B, T, _ = x.shape
     hidden_dim = params["recurrent_kernel"].shape[0]
@@ -84,17 +96,33 @@ def lstm_sequence(
 
         return lstm_sequence_pallas(params, x, h0, c0)
 
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = params["kernel"].astype(compute_dtype)
+        precision = None  # bf16 inputs: single MXU pass, f32 accumulation
+    else:
+        kernel = params["kernel"]
+        precision = "highest"
+
     # Hoist the input projection: [B*T, in] @ [in, 4H] in one MXU pass.
-    xz = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32, precision="highest") + params["bias"]
+    xz = (
+        jnp.dot(x, kernel, preferred_element_type=jnp.float32, precision=precision)
+        + params["bias"]
+    )
     xz_t = jnp.swapaxes(xz, 0, 1)  # time-major for the scan: [T, B, 4H]
 
     rk = params["recurrent_kernel"]
+    if compute_dtype is not None:
+        rk = rk.astype(compute_dtype)
 
     def body(carry, xz_step):
         h_prev, c_prev = carry
-        z = xz_step + jnp.dot(h_prev, rk, preferred_element_type=jnp.float32, precision="highest")
+        h_in = h_prev.astype(compute_dtype) if compute_dtype is not None else h_prev
+        z = xz_step + jnp.dot(h_in, rk, preferred_element_type=jnp.float32, precision=precision)
         h, c = _gates(z, c_prev, hidden_dim, recurrent_activation, activation)
         return (h, c), h
 
+    if remat:
+        body = jax.checkpoint(body)
     (h_T, c_T), h_seq = jax.lax.scan(body, (h0, c0), xz_t, unroll=unroll)
     return jnp.swapaxes(h_seq, 0, 1), (h_T, c_T)

@@ -67,3 +67,27 @@ def test_jit_and_grad():
     g = jax.grad(loss)(p, x)
     assert g["kernel"].shape == p["kernel"].shape
     assert float(jnp.abs(g["recurrent_kernel"]).max()) > 0
+
+
+def test_remat_matches_plain():
+    p = init_lstm(jax.random.PRNGKey(0), 6, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 6))
+
+    def loss(p, remat):
+        h, _ = lstm_sequence(p, x, remat=remat)
+        return jnp.sum(h**2)
+
+    np.testing.assert_allclose(float(loss(p, False)), float(loss(p, True)), rtol=1e-6)
+    ga = jax.grad(loss)(p, False)
+    gb = jax.grad(loss)(p, True)
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_compute_close_to_f32():
+    p = init_lstm(jax.random.PRNGKey(0), 6, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 6))
+    a, _ = lstm_sequence(p, x)
+    b, _ = lstm_sequence(p, x, compute_dtype=jnp.bfloat16)
+    assert b.dtype == jnp.float32  # accumulation and gates stay f32
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.05)
