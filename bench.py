@@ -74,10 +74,11 @@ def bench_tpu():
     train = data["train"]
     steps_per_epoch = train["x"].shape[0] // BATCH
 
-    # warmup/compile
+    # one-epoch-per-call mode: ~10 s compile. (Trainer.train_epochs fuses E
+    # epochs+val into one program for ~3% more throughput but ~5 min compile —
+    # not worth it here; see train/loop.py.)
     params, opt_state, m = trainer.train_epoch(params, opt_state, train, jax.random.PRNGKey(1), one, one, one)
-    jax.block_until_ready(m)
-    # timed epochs
+    jax.block_until_ready(m)  # warmup/compile
     n_epochs = 5
     t0 = time.perf_counter()
     for e in range(n_epochs):

@@ -107,6 +107,34 @@ class Trainer:
 
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
+        def train_epochs(params, opt_state, data, val_data, key, kl_ws, class_w, w_kl_ws):
+            """E epochs as ONE device program: scan over (epoch key, anneal
+            weights) with the epoch body (shuffle + minibatch scan + val pass)
+            inside. Returns per-epoch train/val metric arrays; best-epoch
+            selection and early stopping happen on host afterwards.
+
+            This removes even the per-epoch dispatch/host-sync of
+            :meth:`train_epoch` — the right mode for fixed-epoch-count runs at
+            this scale (an epoch is ~40 ms of device time).
+            """
+            E = kl_ws.shape[0]
+            keys = jax.random.split(key, E)
+
+            def epoch_body(carry, xs):
+                params, opt_state = carry
+                k, kl_w, w_kl_w = xs
+                kt, kv = jax.random.split(k)
+                params, opt_state, m = train_epoch(params, opt_state, data, kt, kl_w, class_w, w_kl_w)
+                vm = eval_epoch(params, val_data, kv, kl_w, class_w, w_kl_w)
+                return (params, opt_state), (m, vm)
+
+            (params, opt_state), (ms, vms) = jax.lax.scan(
+                epoch_body, (params, opt_state), (keys, kl_ws, w_kl_ws)
+            )
+            return params, opt_state, ms, vms
+
+        self.train_epochs = jax.jit(train_epochs, donate_argnums=(0, 1))
+
     def train_epoch_streaming(self, params, opt_state, host_data: dict, key,
                               kl_w, class_w, w_kl_w, rng: "np.random.Generator",
                               prefetch: int = 2):
