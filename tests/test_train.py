@@ -128,3 +128,19 @@ def test_trainer_shuffles_between_epochs():
     p2, s2, m2 = trainer.train_epoch(params2, opt_state2, data, jax.random.PRNGKey(99), one, one, one)
     diffs = [float(jnp.abs(a - b).max()) for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))]
     assert max(diffs) > 1e-6
+
+
+def test_train_epochs_compiled_mode_matches_sequential_shapes():
+    """Trainer.train_epochs: per-epoch metric arrays, loss decreases."""
+    trainer, params, data = _make_trainer_and_data()
+    opt_state = trainer.optimizer.init(params)
+    E = 4
+    kl_ws = jnp.ones(E)
+    w_kl_ws = jnp.ones(E)
+    p, s, ms, vms = trainer.train_epochs(
+        jax.tree.map(jnp.copy, params), opt_state, data, data,
+        jax.random.PRNGKey(3), kl_ws, jnp.float32(1.0), w_kl_ws,
+    )
+    assert ms["loss"].shape == (E,)
+    assert vms["loss"].shape == (E,)
+    assert float(ms["loss"][-1]) < float(ms["loss"][0])
