@@ -120,3 +120,19 @@ def test_y_next_semantics(jsb_all_path):
     same_song = P.train_song_inds[:-1] == P.train_song_inds[1:]
     idx = np.where(same_song)[0][:200]
     np.testing.assert_array_equal(P.y_train[idx], P.x_train[idx + 1])
+
+
+def test_use_rel_major_false(jsb_all_path):
+    """Raw keys (17 for JSB-all). The reference crashes here (its update_keys
+    returns None when use_rel_major=False); we fix the plumbing."""
+    P = PianoData(jsb_all_path, batch_size=None, seq_length=1, use_rel_major=False)
+    assert len(P.key_map) == 18  # raw keys across all three splits
+    # minor keys survive unmapped
+    assert any(k.islower() for k in P.key_map)
+
+
+def test_song_modes_exposed(jsb_all_path):
+    # *_mode arrays are loaded and exposed (consumed by no driver — quirk Q9 parity)
+    P = PianoData(jsb_all_path, batch_size=None, seq_length=1)
+    assert P.train_song_modes.shape == P.train_song_inds.shape
+    assert P.train_song_modes.dtype == bool

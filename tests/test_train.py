@@ -144,3 +144,13 @@ def test_train_epochs_compiled_mode_matches_sequential_shapes():
     assert ms["loss"].shape == (E,)
     assert vms["loss"].shape == (E,)
     assert float(ms["loss"][-1]) < float(ms["loss"][0])
+
+
+def test_fit_trace_dir_writes_profile(tmp_path):
+    trainer, params, data = _make_trainer_and_data()
+    trace_dir = str(tmp_path / "trace")
+    fit(trainer, params, data, data, num_epochs=3, key=jax.random.PRNGKey(2),
+        patience=0, verbose=False, trace_dir=trace_dir)
+    assert os.path.exists(trace_dir)
+    files = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert files  # a profile was captured
