@@ -23,3 +23,14 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+from . import data, models, nn, ops, optim, parallel, sampling, train, utils  # noqa: E402,F401
+
+
+def __getattr__(name):
+    # heavier optional subsystems load lazily
+    if name in ("evaluation", "serving", "runtime", "cli"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
