@@ -62,7 +62,6 @@ def train(args):
     if args.data_init:
         # real weight-norm data-dependent init (reference's is a silent no-op, Q4)
         from ..optim import data_based_init
-        from ..nn.core import dense
 
         x0 = data["train"]["x"][:100]
         pre = x0 @ params["h_w"]["kernel"] + params["h_w"]["bias"]

@@ -1,6 +1,6 @@
 from .mesh import (
     make_mesh,
-    make_sharded_trainer,
+    shard_training_state,
     param_sharding_rules,
     shard_batch,
     shard_params,
@@ -8,7 +8,7 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
-    "make_sharded_trainer",
+    "shard_training_state",
     "param_sharding_rules",
     "shard_batch",
     "shard_params",

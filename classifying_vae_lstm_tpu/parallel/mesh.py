@@ -85,12 +85,12 @@ def shard_opt_state(opt_state, mesh: Mesh):
     return jax.tree.map(rule, opt_state)
 
 
-def make_sharded_trainer(trainer, mesh: Mesh, params, train_data: dict, val_data: dict,
+def shard_training_state(mesh: Mesh, params, train_data: dict, val_data: dict,
                          shard_model_axis: bool = True):
-    """Annotate a :class:`..train.loop.Trainer`'s inputs onto ``mesh``.
+    """Annotate a training run's inputs onto ``mesh``.
 
     Returns (params, train_data, val_data) placed with their shardings; the
-    trainer's jitted epoch functions compile against them — XLA emits the
+    Trainer's jitted epoch functions compile against them — XLA emits the
     all-reduce for gradients (DP) and the gather/reduce pattern for any
     column-sharded matmuls (TP) over ICI.
     """

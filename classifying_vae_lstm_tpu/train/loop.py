@@ -19,7 +19,6 @@ dict, and best-epoch selection (``cl_vae/train.py:72-74``).
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable
 

@@ -9,7 +9,7 @@ import pytest
 
 from classifying_vae_lstm_tpu.models import cl_vae
 from classifying_vae_lstm_tpu.optim import init_optimizer
-from classifying_vae_lstm_tpu.parallel import make_mesh, make_sharded_trainer, shard_batch
+from classifying_vae_lstm_tpu.parallel import make_mesh, shard_batch, shard_training_state
 from classifying_vae_lstm_tpu.train import Trainer
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -49,7 +49,7 @@ def test_sharded_training_matches_single_device():
 
     mesh = make_mesh(n_data=8, n_model=1)
     trainer2, params2, _ = _setup()
-    params2, sh_data, _ = make_sharded_trainer(trainer2, mesh, params2, data, data)
+    params2, sh_data, _ = shard_training_state(mesh, params2, data, data)
     opt_state2 = trainer2.optimizer.init(params2)
     p_sh, _, m_sh = trainer2.train_epoch(params2, opt_state2, sh_data, key, one, one, one)
 
@@ -62,7 +62,7 @@ def test_tensor_parallel_column_sharding_runs():
     """DP x TP mesh: column-sharded kernels compile and step."""
     trainer, params, data = _setup()
     mesh = make_mesh(n_data=4, n_model=2)
-    params, sh_data, _ = make_sharded_trainer(trainer, mesh, params, data, data)
+    params, sh_data, _ = shard_training_state(mesh, params, data, data)
     # kernels are column-sharded over 'model'
     k_sh = params["h_w"]["kernel"].sharding
     assert "model" in str(k_sh.spec)
