@@ -28,6 +28,9 @@ def evaluate(args):
                       squeeze_x=True, squeeze_y=True)
         if margs["seq_length"] > 1:
             common.prune_and_flatten_cl_vae(P, margs["seq_length"])
+        if margs["n_classes"] == 1:  # vanilla VAE: key labels collapse to 0
+            for split in ("train", "valid", "test"):
+                setattr(P, f"{split}_song_keys", np.zeros_like(getattr(P, f"{split}_song_keys")))
         data = common.build_cl_vae_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]
     else:
         P = PianoData(args.train_file, batch_size=args.batch_size, seq_length=margs["seq_length"],
