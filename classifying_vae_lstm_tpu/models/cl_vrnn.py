@@ -135,8 +135,95 @@ def decode_step(params, cfg: Config, z_t, w, h, c, x_prev=None):
     return dense(params["X_decoded_mean"], h, jax.nn.sigmoid), h, c
 
 
+def _apply_fused(params, cfg: Config, x, key, x_prev=None):
+    """Fused forward: encoder cell, z head, z sample, decoder cell in ONE scan.
+
+    The decoder at step t needs only the encoder output at step t, so the two
+    LSTM recurrences run in a single ``lax.scan`` carrying both states — half
+    the loop overhead of two sequential scans, identical numerics (the z noise
+    is pre-drawn with the same key/shape the two-scan path uses). All input
+    projections (encoder XW, decoder Xp/W parts) stay hoisted as whole-sequence
+    MXU matmuls; only z's contribution to the decoder projection is per-step.
+    """
+    from ..nn.core import hard_sigmoid
+    from ..ops.lstm import _gates
+
+    kw, kz, _, _ = jax.random.split(key, 4)  # same split as the two-scan path
+    B, T, D = x.shape
+    H = cfg.intermediate_dim
+    L = cfg.latent_dim
+    W_mean, W_log_var = encode_w(params, cfg, x)
+    W = sample_logistic_normal(kw, W_mean, W_log_var)
+
+    # same draw as sample_gaussian(kz, Z_mean, Z_log_var) in the two-scan path
+    eps = jax.random.normal(kz, (B, T, L))
+
+    xw = jnp.concatenate([x, _repeat_w(W, T)], axis=-1)
+    enc = params["encoder_h"]
+    dec = params["decoder_h"]
+    xz_enc = (
+        jnp.dot(xw, enc["kernel"], preferred_element_type=jnp.float32, precision="highest")
+        + enc["bias"]
+    )
+    # decoder input is concat([Xp,] Z, W): split its kernel by input rows and
+    # precompute the Xp and W contributions for the whole sequence
+    n_xp = D if cfg.use_x_prev else 0
+    k_xp = dec["kernel"][:n_xp]
+    k_z = dec["kernel"][n_xp : n_xp + L]
+    k_w = dec["kernel"][n_xp + L :]
+    xz_dec = jnp.dot(
+        _repeat_w(W, T), k_w, preferred_element_type=jnp.float32, precision="highest"
+    ) + dec["bias"]
+    if cfg.use_x_prev:
+        xz_dec = xz_dec + jnp.dot(
+            x_prev, k_xp, preferred_element_type=jnp.float32, precision="highest"
+        )
+
+    def body(carry, xs):
+        h_e, c_e, h_d, c_d = carry
+        xz_e_t, xz_d_t, eps_t = xs
+        z_e = xz_e_t + jnp.dot(h_e, enc["recurrent_kernel"],
+                               preferred_element_type=jnp.float32, precision="highest")
+        h_e, c_e = _gates(z_e, c_e, H, hard_sigmoid, jnp.tanh)
+        zm = dense(params["Z_mean"], h_e)
+        zv = dense(params["Z_log_var"], h_e)
+        z = zm + jnp.exp(zv / 2) * eps_t
+        z_d = (
+            xz_d_t
+            + jnp.dot(z, k_z, preferred_element_type=jnp.float32, precision="highest")
+            + jnp.dot(h_d, dec["recurrent_kernel"],
+                      preferred_element_type=jnp.float32, precision="highest")
+        )
+        h_d, c_d = _gates(z_d, c_d, H, hard_sigmoid, jnp.tanh)
+        return (h_e, c_e, h_d, c_d), (h_d, zm, zv, z)
+
+    zeros = jnp.zeros((B, H), x.dtype)
+    xs_t = (jnp.swapaxes(xz_enc, 0, 1), jnp.swapaxes(xz_dec, 0, 1), jnp.swapaxes(eps, 0, 1))
+    _, (h_d_seq, zm_seq, zv_seq, z_seq) = jax.lax.scan(
+        body, (zeros, zeros, zeros, zeros), xs_t, unroll=4
+    )
+    to_bt = lambda a: jnp.swapaxes(a, 0, 1)
+    X_decoded_mean = dense(params["X_decoded_mean"], to_bt(h_d_seq), jax.nn.sigmoid)
+    return {
+        "X_decoded_mean": X_decoded_mean,
+        "W": W,
+        "W_mean": W_mean,
+        "W_log_var": W_log_var,
+        "Z": to_bt(z_seq),
+        "Z_mean": to_bt(zm_seq),
+        "Z_log_var": to_bt(zv_seq),
+    }
+
+
 def apply(params, cfg: Config, x, key, x_prev=None):
-    """Full stochastic forward pass over a window batch [B, T, D]."""
+    """Full stochastic forward pass over a window batch [B, T, D].
+
+    Uses the fused single-scan path when its preconditions hold (no dropout,
+    XLA backend); the two-scan path is kept for dropout/pallas configurations
+    and as the reference implementation the fused path is tested against.
+    """
+    if cfg.dropout == 0.0 and cfg.lstm_backend == "xla" and not cfg.remat:
+        return _apply_fused(params, cfg, x, key, x_prev)
     kw, kz, kd1, kd2 = jax.random.split(key, 4)
     W_mean, W_log_var = encode_w(params, cfg, x)
     W = sample_logistic_normal(kw, W_mean, W_log_var)

@@ -137,3 +137,63 @@ def test_cl_vrnn_head_init_stddev():
     # RandomNormal(0, 0.1) heads (cl_vrnn/model.py:200-207,229-233)
     s = float(jnp.std(params["X_decoded_mean"]["kernel"]))
     assert 0.05 < s < 0.15
+
+
+def test_cl_vrnn_fused_scan_matches_two_scan():
+    """_apply_fused (single scan for both LSTMs) == the two-scan reference path."""
+    from classifying_vae_lstm_tpu.nn.distributions import (
+        sample_gaussian,
+        sample_logistic_normal,
+    )
+
+    cfg, params, x, w = _vrnn_setup(use_x_prev=True)
+    k = jax.random.PRNGKey(9)
+    fused = cl_vrnn._apply_fused(params, cfg, x, k, x_prev=x)
+    kw, kz, _, _ = jax.random.split(k, 4)
+    Wm, Wv = cl_vrnn.encode_w(params, cfg, x)
+    W = sample_logistic_normal(kw, Wm, Wv)
+    Zm, Zv, _ = cl_vrnn.encode_z_sequence(params, cfg, x, W)
+    Z = sample_gaussian(kz, Zm, Zv)
+    Xd, _ = cl_vrnn.decode_sequence(params, cfg, Z, W, x)
+    np.testing.assert_allclose(np.asarray(fused["X_decoded_mean"]), np.asarray(Xd),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused["Z_mean"]), np.asarray(Zm), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fused["Z"]), np.asarray(Z), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fused["W"]), np.asarray(W))
+
+
+def test_cl_vrnn_fused_scan_gradients_match():
+    cfg, params, x, w = _vrnn_setup(use_x_prev=True)
+    batch = {"x": x, "x_prev": x, "y": x, "w": w}
+    k = jax.random.PRNGKey(9)
+    import dataclasses
+
+    # dropout > 0 forces the two-scan path; use 0 with a manual two-scan loss
+    def loss_two_scan(p):
+        from classifying_vae_lstm_tpu.nn import losses as L
+        from classifying_vae_lstm_tpu.nn.distributions import (
+            sample_gaussian,
+            sample_logistic_normal,
+        )
+
+        kw, kz, _, _ = jax.random.split(k, 4)
+        Wm, Wv = cl_vrnn.encode_w(p, cfg, batch["x"])
+        W = sample_logistic_normal(kw, Wm, Wv)
+        Zm, Zv, _ = cl_vrnn.encode_z_sequence(p, cfg, batch["x"], W)
+        Z = sample_gaussian(kz, Zm, Zv)
+        Xd, _ = cl_vrnn.decode_sequence(p, cfg, Z, W, batch["x_prev"])
+        return (
+            jnp.mean(L.vae_loss(batch["y"], Xd, cfg.original_dim))
+            + jnp.mean(L.kl_loss(Zm, Zv))
+            + jnp.mean(L.w_kl_loss(Wm, Wv, cfg.w_log_var_prior))
+            + jnp.mean(L.w_rec_loss(batch["w"], W, cfg.n_classes))
+        )
+
+    def loss_fused(p):
+        return cl_vrnn.loss_and_metrics(p, cfg, batch, k)[0]
+
+    ga = jax.grad(loss_two_scan)(params)
+    gb = jax.grad(loss_fused)(params)
+    for path_a, path_b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(path_a), np.asarray(path_b),
+                                   rtol=1e-4, atol=1e-6)
