@@ -77,3 +77,14 @@ def test_shard_batch_places_on_data_axis():
     data = {"x": jnp.zeros((64, 16))}
     sh = shard_batch(mesh, data)
     assert len(sh["x"].sharding.device_set) == 8
+
+
+def test_shard_opt_state_runs():
+    from classifying_vae_lstm_tpu.parallel.mesh import shard_opt_state
+
+    trainer, params, data = _setup()
+    mesh = make_mesh(n_data=4, n_model=2)
+    opt_state = trainer.optimizer.init(params)
+    sharded = shard_opt_state(opt_state, mesh)
+    # moments follow the kernel column sharding; scalars replicated
+    assert jax.tree.structure(sharded) == jax.tree.structure(opt_state)

@@ -154,3 +154,17 @@ def test_fit_trace_dir_writes_profile(tmp_path):
     assert os.path.exists(trace_dir)
     files = [f for _, _, fs in os.walk(trace_dir) for f in fs]
     assert files  # a profile was captured
+
+
+def test_training_fully_deterministic_under_seed():
+    """Same data + same keys -> bitwise-identical trained params."""
+    results = []
+    for _ in range(2):
+        trainer, params, data = _make_trainer_and_data()
+        opt_state = trainer.optimizer.init(params)
+        one = jnp.float32(1.0)
+        p, s, m = trainer.train_epoch(params, opt_state, data, jax.random.PRNGKey(7), one, one, one)
+        results.append((jax.tree.leaves(p), float(m["loss"])))
+    for a, b in zip(results[0][0], results[1][0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert results[0][1] == results[1][1]
