@@ -96,3 +96,11 @@ def test_http_server_roundtrip(tmp_path, jsb_cs_path):
             assert json.load(r)["requests"] >= 2
     finally:
         httpd.shutdown()
+
+
+def test_engine_warmup_precompiles_buckets():
+    eng = _engine()
+    eng.warmup(batch_buckets=(1,), step_buckets=(32,))
+    c = eng.stats["compiles"]
+    eng.generate(n=1, nsteps=20)  # falls in the warmed (1, 32) bucket
+    assert eng.stats["compiles"] == c
