@@ -152,6 +152,14 @@ def _apply_fused(params, cfg: Config, x, key, x_prev=None):
     B, T, D = x.shape
     H = cfg.intermediate_dim
     L = cfg.latent_dim
+    # bf16_compute: matmul operands in bf16, f32 accumulation (MXU-native mode
+    # for scaled-up hidden sizes); default keeps f32 operands for parity
+    cd = jnp.bfloat16 if cfg.bf16_compute else None
+    prec = None if cfg.bf16_compute else "highest"
+    mm = lambda a, b: jnp.dot(
+        a.astype(cd) if cd else a, b.astype(cd) if cd else b,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
     W_mean, W_log_var = encode_w(params, cfg, x)
     W = sample_logistic_normal(kw, W_mean, W_log_var)
 
@@ -161,39 +169,26 @@ def _apply_fused(params, cfg: Config, x, key, x_prev=None):
     xw = jnp.concatenate([x, _repeat_w(W, T)], axis=-1)
     enc = params["encoder_h"]
     dec = params["decoder_h"]
-    xz_enc = (
-        jnp.dot(xw, enc["kernel"], preferred_element_type=jnp.float32, precision="highest")
-        + enc["bias"]
-    )
+    xz_enc = mm(xw, enc["kernel"]) + enc["bias"]
     # decoder input is concat([Xp,] Z, W): split its kernel by input rows and
     # precompute the Xp and W contributions for the whole sequence
     n_xp = D if cfg.use_x_prev else 0
     k_xp = dec["kernel"][:n_xp]
     k_z = dec["kernel"][n_xp : n_xp + L]
     k_w = dec["kernel"][n_xp + L :]
-    xz_dec = jnp.dot(
-        _repeat_w(W, T), k_w, preferred_element_type=jnp.float32, precision="highest"
-    ) + dec["bias"]
+    xz_dec = mm(_repeat_w(W, T), k_w) + dec["bias"]
     if cfg.use_x_prev:
-        xz_dec = xz_dec + jnp.dot(
-            x_prev, k_xp, preferred_element_type=jnp.float32, precision="highest"
-        )
+        xz_dec = xz_dec + mm(x_prev, k_xp)
 
     def body(carry, xs):
         h_e, c_e, h_d, c_d = carry
         xz_e_t, xz_d_t, eps_t = xs
-        z_e = xz_e_t + jnp.dot(h_e, enc["recurrent_kernel"],
-                               preferred_element_type=jnp.float32, precision="highest")
+        z_e = xz_e_t + mm(h_e, enc["recurrent_kernel"])
         h_e, c_e = _gates(z_e, c_e, H, hard_sigmoid, jnp.tanh)
         zm = dense(params["Z_mean"], h_e)
         zv = dense(params["Z_log_var"], h_e)
         z = zm + jnp.exp(zv / 2) * eps_t
-        z_d = (
-            xz_d_t
-            + jnp.dot(z, k_z, preferred_element_type=jnp.float32, precision="highest")
-            + jnp.dot(h_d, dec["recurrent_kernel"],
-                      preferred_element_type=jnp.float32, precision="highest")
-        )
+        z_d = xz_d_t + mm(z, k_z) + mm(h_d, dec["recurrent_kernel"])
         h_d, c_d = _gates(z_d, c_d, H, hard_sigmoid, jnp.tanh)
         return (h_e, c_e, h_d, c_d), (h_d, zm, zv, z)
 

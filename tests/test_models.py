@@ -197,3 +197,16 @@ def test_cl_vrnn_fused_scan_gradients_match():
     for path_a, path_b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(path_a), np.asarray(path_b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_cl_vrnn_bf16_compute_close_to_f32():
+    import dataclasses
+
+    cfg, params, x, w = _vrnn_setup(use_x_prev=True)
+    cfg16 = dataclasses.replace(cfg, bf16_compute=True)
+    k = jax.random.PRNGKey(5)
+    a = cl_vrnn.apply(params, cfg, x, k, x_prev=x)
+    b = cl_vrnn.apply(params, cfg16, x, k, x_prev=x)
+    assert b["X_decoded_mean"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(a["X_decoded_mean"]),
+                               np.asarray(b["X_decoded_mean"]), atol=0.03)
