@@ -1,3 +1,4 @@
+from .shard_map_step import make_shard_map_train_step, replicate
 from .mesh import (
     make_mesh,
     shard_training_state,
@@ -12,4 +13,6 @@ __all__ = [
     "param_sharding_rules",
     "shard_batch",
     "shard_params",
+    "make_shard_map_train_step",
+    "replicate",
 ]

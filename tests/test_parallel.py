@@ -88,3 +88,53 @@ def test_shard_opt_state_runs():
     sharded = shard_opt_state(opt_state, mesh)
     # moments follow the kernel column sharding; scalars replicated
     assert jax.tree.structure(sharded) == jax.tree.structure(opt_state)
+
+
+def test_shard_map_step_matches_gspmd_step():
+    """Explicit shard_map+psum step == implicit NamedSharding step.
+
+    Same batch, same params; the PRNG layout differs (shard_map folds in the
+    device index), so compare against an oracle computed with the same
+    fold-in, and check the GSPMD path only for loss-scale agreement.
+    """
+    import functools
+
+    from classifying_vae_lstm_tpu.parallel.shard_map_step import (
+        make_shard_map_train_step,
+        replicate,
+    )
+
+    trainer, params, data = _setup(n=80, batch=80)
+    mesh = make_mesh(n_data=8, n_model=1)
+    opt = trainer.optimizer
+    step = make_shard_map_train_step(trainer.loss_fn, opt, mesh)
+
+    params_r = replicate(params, mesh)
+    opt_state = replicate(opt.init(params), mesh)
+    batch = shard_batch(mesh, {k: v[:80] for k, v in data.items()})
+    one = jnp.float32(1.0)
+    p2, s2, m2 = step(params_r, opt_state, batch, jax.random.PRNGKey(0), one, one, one)
+    assert np.isfinite(float(m2["loss"]))
+
+    # oracle: single-device computation of the same sharded semantics
+    keys = [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(8)]
+    shards = {k: np.split(np.asarray(v[:80]), 8) for k, v in data.items()}
+    grads_acc = None
+    losses = []
+    for i in range(8):
+        b = {k: jnp.asarray(v[i]) for k, v in shards.items()}
+        (loss, m), g = jax.value_and_grad(trainer.loss_fn, has_aux=True)(
+            params, b, keys[i], one, one, one
+        )
+        losses.append(float(m["loss"]))
+        grads_acc = g if grads_acc is None else jax.tree.map(jnp.add, grads_acc, g)
+    mean_loss = np.mean(losses)
+    np.testing.assert_allclose(float(m2["loss"]), mean_loss, rtol=1e-4)
+
+    import optax
+
+    grads_mean = jax.tree.map(lambda a: a / 8, grads_acc)
+    updates, _ = opt.update(grads_mean, opt.init(params), params)
+    p_oracle = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree.leaves(p_oracle), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
