@@ -159,3 +159,28 @@ def test_cl_vae_vanilla_mode(jsb_cs_path, tmp_path):
     _, best_loss = cl_vae_train.train(args)
     assert json.load(open(tmp_path / "vn.json"))["n_classes"] == 1
     assert best_loss["w_loss"] == 0.0 and best_loss["w2_loss"] == 0.0
+
+
+@pytest.mark.slow
+def test_cl_vae_predict_next_mode(jsb_cs_path, tmp_path):
+    """--predict_next: encode x_t, reconstruct x_{t+1} (reference flag)."""
+    args = cl_vae_train.build_parser().parse_args([
+        "pn", "--num_epochs", "2", "--patience", "0", "--predict_next",
+        "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    _, best_loss = cl_vae_train.train(args)
+    assert np.isfinite(best_loss["val_loss"])
+    assert json.load(open(tmp_path / "pn.json"))["predict_next"]
+
+
+@pytest.mark.slow
+def test_cli_resume_continues_from_last(jsb_cs_path, tmp_path):
+    base = ["rs", "--patience", "0", "--model_dir", str(tmp_path),
+            "--train_file", jsb_cs_path, "--save_last"]
+    args = cl_vae_train.build_parser().parse_args(base + ["--num_epochs", "2"])
+    cl_vae_train.train(args)
+    assert os.path.exists(tmp_path / "rs.last.npz")
+    # resume to epoch 4: only 2 more epochs run (initial_epoch restored)
+    args2 = cl_vae_train.build_parser().parse_args(base + ["--num_epochs", "4", "--resume"])
+    _, best_loss = cl_vae_train.train(args2)
+    assert np.isfinite(best_loss["val_loss"])
