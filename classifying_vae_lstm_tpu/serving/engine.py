@@ -63,14 +63,17 @@ class GenerationEngine:
             for t in step_buckets or self.STEP_BUCKETS[:2]:
                 self._generate_bucket(b, t)
 
+    def _mark_bucket(self, b: int, t: int) -> None:
+        with self._lock:
+            if (b, t) not in self._compiled:
+                self._compiled.add((b, t))
+                self.stats["compiles"] += 1
+
     def _generate_bucket(self, b: int, t: int):
         idx = np.arange(b) % len(self.seed_bank)
         seeds = jnp.asarray(self.seed_bank[idx])
         ws = jnp.full((b, self.cfg.n_classes), 1.0 / self.cfg.n_classes)
-        tag = (b, t)
-        if tag not in self._compiled:
-            self._compiled.add(tag)
-            self.stats["compiles"] += 1
+        self._mark_bucket(b, t)
         out = generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
         return jax.block_until_ready(out)
 
@@ -105,10 +108,7 @@ class GenerationEngine:
                 raise ValueError("true-key conditioning needs seed_keys")
             ws = jax.nn.one_hot(jnp.asarray(self.seed_keys[seed_indices]), self.cfg.n_classes)
 
-        tag = (b, t)
-        if tag not in self._compiled:
-            self._compiled.add(tag)
-            self.stats["compiles"] += 1
+        self._mark_bucket(b, t)
         out = generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
         out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
         with self._lock:
