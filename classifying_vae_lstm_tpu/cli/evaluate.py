@@ -21,6 +21,12 @@ from . import common
 
 
 def evaluate(args):
+    if args.family == "auto":
+        # cl_vae checkpoints carry intermediate_class_dim; cl_vrnn ones don't
+        from ..train.checkpoint import load_model_args
+
+        margs_probe = load_model_args(args.model_file)
+        args.family = "cl_vae" if "intermediate_class_dim" in margs_probe else "cl_vrnn"
     params, cfg, margs = common.load_model(args.model_file, args.family)
     if args.family == "cl_vae":
         P = PianoData(args.train_file, batch_size=args.batch_size, seq_length=margs["seq_length"],
@@ -57,7 +63,8 @@ def evaluate(args):
 def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("-i", "--model_file", type=str, required=True)
-    parser.add_argument("--family", type=str, default="cl_vae", choices=["cl_vae", "cl_vrnn"])
+    parser.add_argument("--family", type=str, default="auto",
+                        choices=["auto", "cl_vae", "cl_vrnn"])
     parser.add_argument("--n_samples", type=int, default=64, help="importance samples per datapoint")
     parser.add_argument("--batch_size", type=int, default=200)
     parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE)

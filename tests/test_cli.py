@@ -184,3 +184,18 @@ def test_cli_resume_continues_from_last(jsb_cs_path, tmp_path):
     args2 = cl_vae_train.build_parser().parse_args(base + ["--num_epochs", "4", "--resume"])
     _, best_loss = cl_vae_train.train(args2)
     assert np.isfinite(best_loss["val_loss"])
+
+
+@pytest.mark.slow
+def test_evaluate_family_autodetect(jsb_cs_path, tmp_path):
+    args = cl_vae_train.build_parser().parse_args([
+        "fa", "--num_epochs", "2", "--patience", "0",
+        "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    cl_vae_train.train(args)
+    eargs = evaluate.build_parser().parse_args([
+        "-i", str(tmp_path / "fa.npz"), "--n_samples", "2",
+        "--batch_size", "500", "--train_file", jsb_cs_path,
+    ])
+    out = evaluate.evaluate(eargs)
+    assert out["family"] == "cl_vae"
