@@ -32,9 +32,18 @@ from . import common
 
 
 def build_engine(args) -> tuple[GenerationEngine, dict]:
-    params, cfg, margs = common.load_model(args.model_file, "cl_vrnn")
-    P = PianoData(args.train_file, batch_size=1, seq_length=args.seed_len, squeeze_x=False)
-    engine = GenerationEngine(params, cfg, P.x_test, P.test_song_keys)
+    from ..train.checkpoint import load_model_args
+
+    family = args.family
+    if family == "auto":
+        family = "cl_vae" if "intermediate_class_dim" in load_model_args(args.model_file) else "cl_vrnn"
+    params, cfg, margs = common.load_model(args.model_file, family)
+    squeeze = family == "cl_vae"
+    P = PianoData(args.train_file, batch_size=1, seq_length=args.seed_len, squeeze_x=squeeze)
+    seeds = P.x_test[:, 0] if family == "cl_vae" and P.x_test.ndim == 3 else P.x_test
+    if family == "cl_vae" and seeds.ndim == 3:
+        seeds = seeds[:, 0]
+    engine = GenerationEngine(params, cfg, seeds, P.test_song_keys)
     key_map = dict(P.key_map)
     return engine, key_map
 
@@ -116,6 +125,8 @@ def build_parser():
     parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,
                         help="corpus providing seed windows")
     parser.add_argument("--seed_len", type=int, default=32, help="seed window length")
+    parser.add_argument("--family", type=str, default="auto",
+                        choices=["auto", "cl_vae", "cl_vrnn"])
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8787)
     return parser

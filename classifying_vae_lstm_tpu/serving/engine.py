@@ -21,8 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import cl_vrnn
-from ..sampling.generate import generate_cl_vrnn_batch, infer_w_cl_vrnn
+from ..models import cl_vae, cl_vrnn
+from ..sampling.generate import (
+    generate_cl_vae_batch,
+    generate_cl_vrnn_batch,
+    infer_w_cl_vrnn,
+)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -33,18 +37,24 @@ def _bucket(n: int, buckets) -> int:
 
 
 class GenerationEngine:
-    """Thread-safe cl_vrnn generation service over a loaded checkpoint."""
+    """Thread-safe generation service over a loaded checkpoint.
+
+    Serves both families: cl_vrnn (seed = a window, teacher-forced) and
+    cl_vae (seed = a single frame). The family is inferred from the config
+    type. Requests pad up to (batch, nsteps) buckets so steady state never
+    compiles."""
 
     BATCH_BUCKETS = (1, 4, 16, 64)
     STEP_BUCKETS = (32, 64, 128, 256)
 
-    def __init__(self, params, cfg: cl_vrnn.Config, seed_bank: np.ndarray,
+    def __init__(self, params, cfg, seed_bank: np.ndarray,
                  seed_keys: np.ndarray | None = None, key=None):
-        """seed_bank: [N, Tseed, D] test-set windows used to seed generation;
-        seed_keys: optional integer key label per seed (for key-conditioned
-        requests and true-key conditioning)."""
+        """seed_bank: [N, Tseed, D] (cl_vrnn) or [N, D] (cl_vae) test-set
+        seeds; seed_keys: optional integer key label per seed (for
+        key-conditioned requests and true-key conditioning)."""
         self.params = params
         self.cfg = cfg
+        self.family = "cl_vae" if isinstance(cfg, cl_vae.Config) else "cl_vrnn"
         self.seed_bank = np.asarray(seed_bank, dtype=np.float32)
         self.seed_keys = seed_keys
         self._key = key if key is not None else jax.random.PRNGKey(0)
@@ -74,8 +84,14 @@ class GenerationEngine:
         seeds = jnp.asarray(self.seed_bank[idx])
         ws = jnp.full((b, self.cfg.n_classes), 1.0 / self.cfg.n_classes)
         self._mark_bucket(b, t)
-        out = generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
+        out = self._run(seeds, t, ws)
         return jax.block_until_ready(out)
+
+    def _run(self, seeds, t, ws):
+        if self.family == "cl_vae":
+            return generate_cl_vae_batch(self.params, self.cfg, seeds, t, self._next_key(),
+                                         w_vals=ws)
+        return generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
 
     def generate(self, n: int = 1, nsteps: int = 64, key_name_index: int | None = None,
                  infer_w: bool = True, seed_indices=None) -> np.ndarray:
@@ -101,15 +117,19 @@ class GenerationEngine:
 
         seeds = jnp.asarray(self.seed_bank[seed_indices])
         if infer_w:
-            keys = jax.random.split(self._next_key(), b)
-            ws = jax.vmap(lambda s, k: infer_w_cl_vrnn(self.params, self.cfg, s, k))(seeds, keys)
+            if self.family == "cl_vae":
+                # cl_vae infers w per seed frame inside generate (w_val=None)
+                ws = None
+            else:
+                keys = jax.random.split(self._next_key(), b)
+                ws = jax.vmap(lambda s, k: infer_w_cl_vrnn(self.params, self.cfg, s, k))(seeds, keys)
         else:
             if self.seed_keys is None:
                 raise ValueError("true-key conditioning needs seed_keys")
             ws = jax.nn.one_hot(jnp.asarray(self.seed_keys[seed_indices]), self.cfg.n_classes)
 
         self._mark_bucket(b, t)
-        out = generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
+        out = self._run(seeds, t, ws)
         out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
         with self._lock:
             self.stats["requests"] += 1

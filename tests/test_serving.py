@@ -104,3 +104,18 @@ def test_engine_warmup_precompiles_buckets():
     c = eng.stats["compiles"]
     eng.generate(n=1, nsteps=20)  # falls in the warmed (1, 32) bucket
     assert eng.stats["compiles"] == c
+
+
+def test_engine_serves_cl_vae_family():
+    from classifying_vae_lstm_tpu.models import cl_vae
+
+    cfg = cl_vae.Config(original_dim=16, intermediate_dim=12, latent_dim=2,
+                        intermediate_class_dim=8, n_classes=3)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    bank = (rng.random((6, 16)) < 0.2).astype(np.float32)  # [N, D] frames
+    eng = GenerationEngine(params, cfg, bank, np.arange(6) % 3)
+    out = eng.generate(n=2, nsteps=20)  # inferred w
+    assert out.shape == (2, 20, 16)
+    out = eng.generate(n=2, nsteps=20, infer_w=False)  # true-key one-hot
+    assert out.shape == (2, 20, 16)
