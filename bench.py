@@ -51,6 +51,11 @@ def _load_data(n_classes_out):
 
 def bench_tpu():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the ~10-40 s XLA
+    # compiles (works through the remote-compile tunnel; verified)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from classifying_vae_lstm_tpu.models import cl_vrnn, cl_vae
