@@ -86,6 +86,7 @@ def build_parser():
 
 
 def _main():
+    common.enable_compile_cache()
     sample(build_parser().parse_args())
 
 

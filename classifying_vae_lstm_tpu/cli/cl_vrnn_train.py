@@ -146,6 +146,7 @@ def build_parser():
 
 
 def _main():
+    common.enable_compile_cache()
     train(build_parser().parse_args())
 
 

@@ -19,6 +19,20 @@ from ..train.checkpoint import load_checkpoint, load_model_args, load_opt_state
 DEFAULT_TRAIN_FILE = "/root/reference/data/input/JSB Chorales_Cs.pickle"
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache: repeat CLI runs skip recompilation."""
+    import os
+
+    import jax
+
+    cache = os.environ.get("CVL_COMPILE_CACHE", os.path.expanduser("~/.cache/cvl_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # backend already initialized with other settings
+
+
 def prune_and_flatten_cl_vae(P: PianoData, seq_length: int) -> int:
     """cl_vae seq-concat mode: drop never-played pitch columns, flatten windows.
 

@@ -73,6 +73,7 @@ def build_parser():
 
 
 def _main():
+    common.enable_compile_cache()
     evaluate(build_parser().parse_args())
 
 

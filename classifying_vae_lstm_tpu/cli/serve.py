@@ -133,6 +133,7 @@ def build_parser():
 
 
 def _main():
+    common.enable_compile_cache()
     serve(build_parser().parse_args())
 
 
