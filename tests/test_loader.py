@@ -56,3 +56,9 @@ def test_streaming_epoch_trains():
         )
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_batch_iterator_keep_remainder():
+    data = {"x": np.arange(13, dtype=np.float32)[:, None]}
+    batches = list(batch_iterator(data, 5, drop_remainder=False))
+    assert [len(b["x"]) for b in batches] == [5, 5, 3]

@@ -119,3 +119,9 @@ def test_engine_serves_cl_vae_family():
     assert out.shape == (2, 20, 16)
     out = eng.generate(n=2, nsteps=20, infer_w=False)  # true-key one-hot
     assert out.shape == (2, 20, 16)
+
+
+def test_engine_explicit_seed_indices():
+    eng = _engine()
+    out = eng.generate(n=2, nsteps=32, seed_indices=[0, 3])
+    assert out.shape == (2, 32, 16)

@@ -168,3 +168,14 @@ def test_training_fully_deterministic_under_seed():
     for a, b in zip(results[0][0], results[1][0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert results[0][1] == results[1][1]
+
+
+def test_save_checkpoint_without_epoch(tmp_path):
+    from classifying_vae_lstm_tpu.train.checkpoint import load_opt_state
+
+    trainer, params, data = _make_trainer_and_data()
+    opt_state = trainer.optimizer.init(params)
+    path = str(tmp_path / "ne.npz")
+    save_checkpoint(path, params, opt_state)  # no epoch recorded
+    st, epoch = load_opt_state(path.replace(".npz", ".opt.npz"), opt_state)
+    assert epoch == 0
