@@ -61,3 +61,34 @@ def test_iw_nll_vrnn_per_frame_normalization():
     assert nll.shape == (16,)
     assert np.isfinite(nll).all()
     assert 1.0 < nll.mean() < 40.0  # nats per FRAME, not per window
+
+
+def test_key_pitch_classes():
+    from classifying_vae_lstm_tpu.evaluation.key_consistency import key_to_pitch_classes
+
+    np.testing.assert_array_equal(sorted(key_to_pitch_classes("C")), [0, 2, 4, 5, 7, 9, 11])
+    # B- major: Bb C D Eb F G A -> {10, 0, 2, 3, 5, 7, 9}
+    np.testing.assert_array_equal(sorted(key_to_pitch_classes("B-")), [0, 2, 3, 5, 7, 9, 10])
+    # minor maps through relative major: 'a' -> C
+    np.testing.assert_array_equal(sorted(key_to_pitch_classes("a")), [0, 2, 4, 5, 7, 9, 11])
+
+
+def test_in_scale_fraction():
+    from classifying_vae_lstm_tpu.evaluation.key_consistency import in_scale_fraction
+
+    roll = np.zeros((4, 88))
+    # C major triad: C4=60, E4=64, G4=67 -> indices 39, 43, 46
+    roll[:, [60 - 21, 64 - 21, 67 - 21]] = 1
+    assert in_scale_fraction(roll, "C") == 1.0
+    # F# major does not contain C or E or G naturals
+    assert in_scale_fraction(roll, "F#") < 0.5
+    assert np.isnan(in_scale_fraction(np.zeros((4, 88)), "C"))
+
+
+def test_key_consistency_report_shape():
+    from classifying_vae_lstm_tpu.evaluation.key_consistency import key_consistency_report
+
+    rng = np.random.default_rng(0)
+    rolls = [(rng.random((8, 88)) < 0.05).astype(float) for _ in range(4)]
+    rep = key_consistency_report(rolls, ["C", "C", "G", "G"])
+    assert set(rep) == {"conditioned", "mismatched", "margin"}
