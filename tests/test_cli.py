@@ -199,3 +199,20 @@ def test_evaluate_family_autodetect(jsb_cs_path, tmp_path):
     ])
     out = evaluate.evaluate(eargs)
     assert out["family"] == "cl_vae"
+
+
+@pytest.mark.slow
+def test_key_consistency_cli(jsb_cs_path, tmp_path):
+    from classifying_vae_lstm_tpu.cli import key_consistency
+
+    args = cl_vrnn_train.build_parser().parse_args([
+        "kc", "--num_epochs", "2", "--patience", "0", "--seq_length", "8",
+        "--intermediate_dim", "8", "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    cl_vrnn_train.train(args)
+    kargs = key_consistency.build_parser().parse_args([
+        "-i", str(tmp_path / "kc.npz"), "-n", "2", "-t", "16",
+        "--seed_len", "8", "--train_file", jsb_cs_path,
+    ])
+    rep = key_consistency.run(kargs)
+    assert "margin" in rep and rep["n_songs"] == 4  # 2 keys x 2 songs
