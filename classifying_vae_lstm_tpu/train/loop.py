@@ -32,10 +32,19 @@ from .checkpoint import save_checkpoint
 
 
 def _batched(data: dict, perm, batch_size: int):
-    """Gather-shuffle and reshape [N, ...] -> [nb, batch, ...] on device."""
+    """Gather-shuffle and reshape [N, ...] -> [nb, batch, ...] on device.
+
+    Drops the N % batch_size remainder (shapes under ``lax.scan`` are static;
+    this matches the reference's batch-truncation convention,
+    utils/pianoroll.py:154-158 — a different remainder is dropped each epoch
+    since the permutation comes first).
+    """
+    nb = perm.shape[0] // batch_size
+    perm = perm[: nb * batch_size]
+
     def f(a):
         shuffled = jnp.take(a, perm, axis=0)
-        return shuffled.reshape((-1, batch_size) + a.shape[1:])
+        return shuffled.reshape((nb, batch_size) + a.shape[1:])
 
     return {k: f(v) for k, v in data.items()}
 

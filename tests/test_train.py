@@ -179,3 +179,12 @@ def test_save_checkpoint_without_epoch(tmp_path):
     save_checkpoint(path, params, opt_state)  # no epoch recorded
     st, epoch = load_opt_state(path.replace(".npz", ".opt.npz"), opt_state)
     assert epoch == 0
+
+
+def test_train_epoch_drops_remainder():
+    """N not a batch multiple: remainder dropped (reference truncation rule)."""
+    trainer, params, data = _make_trainer_and_data(n=120, batch=50)  # 120 -> 2 batches
+    opt_state = trainer.optimizer.init(params)
+    one = jnp.float32(1.0)
+    p, s, m = trainer.train_epoch(params, opt_state, data, jax.random.PRNGKey(0), one, one, one)
+    assert np.isfinite(float(m["loss"]))
