@@ -125,3 +125,25 @@ def test_engine_explicit_seed_indices():
     eng = _engine()
     out = eng.generate(n=2, nsteps=32, seed_indices=[0, 3])
     assert out.shape == (2, 32, 16)
+
+
+@pytest.mark.slow
+def test_build_engine_from_trained_checkpoint(jsb_cs_path, tmp_path):
+    from classifying_vae_lstm_tpu.cli import cl_vrnn_train
+    from classifying_vae_lstm_tpu.cli.serve import build_engine
+
+    args = cl_vrnn_train.build_parser().parse_args([
+        "sv", "--num_epochs", "2", "--patience", "0", "--seq_length", "8",
+        "--intermediate_dim", "8", "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    cl_vrnn_train.train(args)
+
+    import argparse
+
+    sargs = argparse.Namespace(model_file=str(tmp_path / "sv.npz"), train_file=jsb_cs_path,
+                               seed_len=8, family="auto")
+    engine, key_map = build_engine(sargs)
+    assert engine.family == "cl_vrnn"
+    assert set(key_map) == {"C", "E-"}
+    out = engine.generate(n=1, nsteps=16)
+    assert out.shape == (1, 16, 88)
