@@ -108,6 +108,40 @@ def _json_ok(v):
         return False
 
 
+def save_checkpoint_orbax(path_dir, params, opt_state=None, epoch: int | None = None):
+    """Orbax-backed checkpoint (optional production backend, SURVEY §5).
+
+    Writes a versioned checkpoint directory via orbax's PyTreeCheckpointer;
+    the flat-.npz contract (:func:`save_checkpoint`) remains the default for
+    reference parity. Returns the checkpoint path.
+    """
+    import orbax.checkpoint as ocp
+
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = jax.tree.map(np.asarray, opt_state)
+    if epoch is not None:
+        payload["epoch"] = np.asarray(epoch)
+    ckptr = ocp.PyTreeCheckpointer()
+    import os
+
+    path_dir = os.path.abspath(path_dir)
+    ckptr.save(path_dir, payload, force=True)
+    return path_dir
+
+
+def load_checkpoint_orbax(path_dir, template=None):
+    """Read an orbax checkpoint written by :func:`save_checkpoint_orbax`.
+
+    Returns the saved payload dict (params / optional opt_state / epoch).
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path_dir, item=template)
+    return restored
+
+
 def load_model_args(model_file):
     """Read the args namespace next to a weights file (reference cl_vae/model.py:232)."""
     json_path = model_file.replace(".npz", ".json").replace(".h5", ".json")

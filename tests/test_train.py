@@ -188,3 +188,25 @@ def test_train_epoch_drops_remainder():
     one = jnp.float32(1.0)
     p, s, m = trainer.train_epoch(params, opt_state, data, jax.random.PRNGKey(0), one, one, one)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest = __import__("pytest")
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest.skip("orbax not installed")
+    from classifying_vae_lstm_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    cfg = cl_vae.Config(original_dim=10, intermediate_dim=8, latent_dim=2,
+                        intermediate_class_dim=6, n_classes=3)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, params, epoch=5)
+    restored = load_checkpoint_orbax(path)
+    assert int(restored["epoch"]) == 5
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
