@@ -216,3 +216,17 @@ def test_key_consistency_cli(jsb_cs_path, tmp_path):
     ])
     rep = key_consistency.run(kargs)
     assert "margin" in rep and rep["n_songs"] == 4  # 2 keys x 2 songs
+
+
+@pytest.mark.slow
+def test_load_model_no_x_prev_override(jsb_cs_path, tmp_path):
+    """--no_x_prev forces use_x_prev off at load (reference cl_vae/model.py:235)."""
+    from classifying_vae_lstm_tpu.cli import common
+
+    args = cl_vae_train.build_parser().parse_args([
+        "nx", "--num_epochs", "2", "--patience", "0",
+        "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    cl_vae_train.train(args)
+    _, cfg, margs = common.load_model(str(tmp_path / "nx.npz"), "cl_vae", no_x_prev=True)
+    assert not cfg.use_x_prev and not margs["use_x_prev"]

@@ -62,3 +62,10 @@ def test_batch_iterator_keep_remainder():
     data = {"x": np.arange(13, dtype=np.float32)[:, None]}
     batches = list(batch_iterator(data, 5, drop_remainder=False))
     assert [len(b["x"]) for b in batches] == [5, 5, 3]
+
+
+def test_device_prefetch_explicit_device():
+    dev = jax.devices()[0]
+    data = {"x": np.arange(6, dtype=np.float32)[:, None]}
+    out = list(device_prefetch(batch_iterator(data, 3), prefetch=1, device=dev))
+    assert all(list(b["x"].devices())[0] == dev for b in out)

@@ -47,3 +47,23 @@ def test_sustained_note_single_event(tmp_path):
     data = open(path, "rb").read()
     assert data.count(bytes([0x90, 30 + 21, 100])) == 1
     assert data.count(bytes([0x80, 30 + 21, 0])) == 1
+
+
+def test_icml_format(tmp_path):
+    # 'icml' input: list of per-timestep active MIDI-note lists (reference :48-52)
+    seq = [[60, 64], [60], []]
+    path = str(tmp_path / "icml.mid")
+    MidiWriter().dump_sequence_to_midi(seq, path, format="icml", offset=0)
+    back = read_midi_roll(path, offset=0, note_range=128)
+    assert back[0, 60] == 1 and back[0, 64] == 1
+    assert back[1, 60] == 1 and back[1, 64] == 0
+
+
+def test_flat_format(tmp_path):
+    rng = np.random.default_rng(0)
+    roll = (rng.random((4, 128)) < 0.05).astype(float)
+    roll[-1, 70] = 1
+    path = str(tmp_path / "flat.mid")
+    MidiWriter().dump_sequence_to_midi(roll.ravel(), path, format="flat", offset=0)
+    back = read_midi_roll(path, offset=0, note_range=128)
+    np.testing.assert_array_equal(back, roll)
