@@ -38,7 +38,10 @@ def make_sample(P, params, cfg, margs, args, key, run_name):
 
 
 def sample(args):
-    params, cfg, margs = common.load_model(args.model_file, "cl_vae", no_x_prev=args.no_x_prev)
+    # resolve <model_dir>/<run_name>.npz when -i is not given (extension: the
+    # reference accepts --model_dir, cl_vae/sample.py:52, but never reads it)
+    model_file = args.model_file or os.path.join(args.model_dir, args.run_name + ".npz")
+    params, cfg, margs = common.load_model(model_file, "cl_vae", no_x_prev=args.no_x_prev)
     P = PianoData(args.train_file, batch_size=1, seq_length=args.t, squeeze_x=True)
     os.makedirs(args.sample_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)

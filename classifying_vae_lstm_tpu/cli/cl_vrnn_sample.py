@@ -60,7 +60,8 @@ def gen_samples(P, params, cfg, margs, args):
 
 
 def sample(args):
-    params, cfg, margs = common.load_model(args.model_file, "cl_vrnn")
+    model_file = args.model_file or os.path.join(args.model_dir, args.run_name + ".npz")
+    params, cfg, margs = common.load_model(model_file, "cl_vrnn")
     P = PianoData(args.train_file, batch_size=1, seq_length=args.t, squeeze_x=False)
     gen_samples(P, params, cfg, margs, args)
 
@@ -75,6 +76,10 @@ def build_parser():
     parser.add_argument("-c", type=str, help="set key of seed sample")
     parser.add_argument("--sample_dir", type=str, default="data/samples",
                         help="basedir for saving output midi files")
+    parser.add_argument("--model_dir", type=str, default="data/models",
+                        help="basedir for saved model weights; <model_dir>/<run_name>.npz is "
+                             "loaded when -i is not given (extension: the reference "
+                             "cl_vrnn/sample.py has no --model_dir; cl_vae/sample.py:52 does)")
     parser.add_argument("-i", "--model_file", type=str, default="",
                         help="preload model weights (no training)")
     parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE,

@@ -28,8 +28,11 @@ def evaluate(args):
         margs_probe = load_model_args(args.model_file)
         args.family = "cl_vae" if "intermediate_class_dim" in margs_probe else "cl_vrnn"
     params, cfg, margs = common.load_model(args.model_file, args.family)
+    # batch_size=1 here: PianoData truncates every split to a multiple of its
+    # batch_size (utils/pianoroll.py:154-158); the estimator pads the final
+    # batch itself, so the headline NLL covers 100% of test windows
     if args.family == "cl_vae":
-        P = PianoData(args.train_file, batch_size=args.batch_size, seq_length=margs["seq_length"],
+        P = PianoData(args.train_file, batch_size=1, seq_length=margs["seq_length"],
                       return_y_next=margs.get("predict_next", False) or margs.get("use_x_prev", False),
                       squeeze_x=True, squeeze_y=True)
         if margs["seq_length"] > 1:
@@ -39,7 +42,7 @@ def evaluate(args):
                 setattr(P, f"{split}_song_keys", np.zeros_like(getattr(P, f"{split}_song_keys")))
         data = common.build_cl_vae_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]
     else:
-        P = PianoData(args.train_file, batch_size=args.batch_size, seq_length=margs["seq_length"],
+        P = PianoData(args.train_file, batch_size=1, seq_length=margs["seq_length"],
                       return_y_next=margs.get("predict_next", False) or margs.get("use_x_prev", False),
                       return_y_hist=True, squeeze_x=False, squeeze_y=False)
         data = common.build_cl_vrnn_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]

@@ -109,14 +109,16 @@ def iw_nll_dataset(params, cfg, data: dict, key, n_samples: int, batch_size: int
                    family: str = "cl_vae"):
     """Whole-test-set NLL as ONE device program: ``lax.scan`` over batches.
 
-    ``data`` holds ``x``/``y`` (and optionally ``x_prev``) arrays [N, ...];
-    the N % batch_size remainder is dropped (the reference's batch-truncation
-    convention). Returns per-example NLLs [nb * batch_size].
+    ``data`` holds ``x``/``y`` (and optionally ``x_prev``) arrays [N, ...].
+    The final partial batch is padded (wrap-around indices, static shapes) and
+    the pad rows sliced off afterwards, so the returned [N] per-example NLLs
+    cover 100% of the split — no N % batch_size truncation.
     """
     fn = iw_nll_cl_vae if family == "cl_vae" else iw_nll_cl_vrnn
     n = data["x"].shape[0]
-    nb = n // batch_size
-    batched = {k: v[: nb * batch_size].reshape((nb, batch_size) + v.shape[1:])
+    nb = -(-n // batch_size)  # ceil: last batch padded, not dropped
+    idx = jnp.arange(nb * batch_size) % n
+    batched = {k: jnp.take(v, idx, axis=0).reshape((nb, batch_size) + v.shape[1:])
                for k, v in data.items()}
     keys = jax.random.split(key, nb)
 
@@ -126,4 +128,4 @@ def iw_nll_dataset(params, cfg, data: dict, key, n_samples: int, batch_size: int
         return None, nll
 
     _, nlls = jax.lax.scan(step, None, (batched, keys))
-    return nlls.reshape(-1)
+    return nlls.reshape(-1)[:n]

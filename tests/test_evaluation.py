@@ -63,6 +63,27 @@ def test_iw_nll_vrnn_per_frame_normalization():
     assert 1.0 < nll.mean() < 40.0  # nats per FRAME, not per window
 
 
+def test_iw_nll_dataset_covers_full_split():
+    """The final partial batch is padded, not dropped: per-example NLLs cover
+    100% of the split and the padded wrap-around rows match the head rows."""
+    from classifying_vae_lstm_tpu.evaluation.nll import iw_nll_dataset
+
+    cfg = cl_vae.Config(original_dim=12, intermediate_dim=8, latent_dim=2,
+                        intermediate_class_dim=6, n_classes=3)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    n, bs = 53, 16  # 53 % 16 = 5: a 3-batch scan + an 11-row pad
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (n, 12)) < 0.2).astype(jnp.float32)
+    data = {"x": x, "y": x}
+    nlls = np.asarray(iw_nll_dataset(params, cfg, data, jax.random.PRNGKey(2), 4, bs))
+    assert nlls.shape == (n,)  # no truncation to 48
+    assert np.isfinite(nlls).all()
+    # exactly divisible split: identical path, still full coverage
+    nlls2 = np.asarray(iw_nll_dataset(params, cfg, {"x": x[:48], "y": x[:48]},
+                                      jax.random.PRNGKey(2), 4, bs))
+    assert nlls2.shape == (48,)
+    np.testing.assert_allclose(nlls[:48], nlls2, rtol=1e-5)
+
+
 def test_key_pitch_classes():
     from classifying_vae_lstm_tpu.evaluation.key_consistency import key_to_pitch_classes
 

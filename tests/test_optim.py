@@ -122,10 +122,131 @@ def test_keras_adam_bias_correction():
 
 
 def test_init_optimizer_names():
-    for name, wn in [("adam-wn", True), ("adam", False), ("rmsprop", False), ("sgd", False)]:
+    """'adam-wn' is special; everything else passes through to Keras names
+    (utils/model_utils.py:52-57 -> Keras 2.0.0 optimizers.get)."""
+    for name, wn in [("adam-wn", True), ("adam", False), ("rmsprop", False), ("sgd", False),
+                     ("adagrad", False), ("adadelta", False), ("adamax", False),
+                     ("nadam", False), ("sgd-wn", False), ("SGD", False)]:
         opt, was_wn = init_optimizer(name)
         assert was_wn == wn
         assert hasattr(opt, "update")
+    import pytest
+
+    with pytest.raises(ValueError):  # fail exactly where Keras would
+        init_optimizer("no-such-optimizer")
+
+
+def test_sgd_is_plain_keras_sgd():
+    """'sgd' must NOT be weight-normalized: on a rank-2 param the update is
+    exactly -lr*g (the reference hands the string to Keras untouched)."""
+    opt, _ = init_optimizer("sgd")
+    params = {"k": jnp.ones((4, 3))}
+    state = opt.init(params)
+    g = {"k": jnp.full((4, 3), 0.5)}
+    updates, _ = opt.update(g, state, params)
+    np.testing.assert_allclose(np.asarray(updates["k"]), -0.01 * 0.5, rtol=1e-6)
+
+
+def test_keras_sgd_momentum_nesterov_oracle():
+    from classifying_vae_lstm_tpu.optim import keras_sgd
+
+    rng = np.random.default_rng(5)
+    p0 = rng.normal(size=(6,)).astype(np.float32)
+    for nesterov in (False, True):
+        params = {"w": jnp.array(p0)}
+        opt = keras_sgd(learning_rate=0.1, momentum=0.9, nesterov=nesterov)
+        state = opt.init(params)
+        p, v = p0.astype(np.float64), np.zeros(6)
+        for _ in range(4):
+            g = rng.normal(size=(6,)).astype(np.float32)
+            updates, state = opt.update({"w": jnp.array(g)}, state, params)
+            params = optax.apply_updates(params, updates)
+            v = 0.9 * v - 0.1 * g
+            p = p + (0.9 * v - 0.1 * g if nesterov else v)
+            np.testing.assert_allclose(np.asarray(params["w"]), p, rtol=1e-5, atol=1e-6)
+
+
+def test_keras_adagrad_oracle():
+    from classifying_vae_lstm_tpu.optim import keras_adagrad
+
+    params = {"w": jnp.zeros((3,))}
+    opt = keras_adagrad()
+    state = opt.init(params)
+    p, a = np.zeros(3), np.zeros(3)
+    rng = np.random.default_rng(6)
+    for _ in range(3):
+        g = rng.normal(size=(3,)).astype(np.float32)
+        updates, state = opt.update({"w": jnp.array(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        a = a + g**2
+        p = p - 0.01 * g / (np.sqrt(a) + 1e-8)
+        np.testing.assert_allclose(np.asarray(params["w"]), p, rtol=1e-5, atol=1e-7)
+
+
+def test_keras_adadelta_oracle():
+    from classifying_vae_lstm_tpu.optim import keras_adadelta
+
+    params = {"w": jnp.zeros((3,))}
+    opt = keras_adadelta()
+    state = opt.init(params)
+    p, a, d = np.zeros(3), np.zeros(3), np.zeros(3)
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        g = rng.normal(size=(3,)).astype(np.float32)
+        updates, state = opt.update({"w": jnp.array(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        a = 0.95 * a + 0.05 * g**2
+        step = g * np.sqrt(d + 1e-8) / np.sqrt(a + 1e-8)
+        p = p - 1.0 * step
+        d = 0.95 * d + 0.05 * step**2
+        np.testing.assert_allclose(np.asarray(params["w"]), p, rtol=1e-5, atol=1e-7)
+
+
+def test_keras_adamax_oracle():
+    from classifying_vae_lstm_tpu.optim import keras_adamax
+
+    params = {"w": jnp.zeros((3,))}
+    opt = keras_adamax()
+    state = opt.init(params)
+    p, m, u = np.zeros(3), np.zeros(3), np.zeros(3)
+    rng = np.random.default_rng(8)
+    for t in range(1, 5):
+        g = rng.normal(size=(3,)).astype(np.float32)
+        updates, state = opt.update({"w": jnp.array(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        lr_t = 0.002 / (1 - 0.9**t)
+        m = 0.9 * m + 0.1 * g
+        u = np.maximum(0.999 * u, np.abs(g))
+        p = p - lr_t * m / (u + 1e-8)
+        np.testing.assert_allclose(np.asarray(params["w"]), p, rtol=1e-5, atol=1e-7)
+
+
+def test_keras_nadam_oracle():
+    from classifying_vae_lstm_tpu.optim import keras_nadam
+
+    params = {"w": jnp.zeros((3,))}
+    opt = keras_nadam()
+    state = opt.init(params)
+    p, m, v = np.zeros(3), np.zeros(3), np.zeros(3)
+    m_sched = 1.0
+    rng = np.random.default_rng(9)
+    for t in range(1, 5):
+        g = rng.normal(size=(3,)).astype(np.float32)
+        updates, state = opt.update({"w": jnp.array(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        cache_t = 0.9 * (1 - 0.5 * 0.96 ** (t * 0.004))
+        cache_t1 = 0.9 * (1 - 0.5 * 0.96 ** ((t + 1) * 0.004))
+        m_sched_new = m_sched * cache_t
+        m_sched_next = m_sched_new * cache_t1
+        g_prime = g / (1 - m_sched_new)
+        m = 0.9 * m + 0.1 * g
+        m_prime = m / (1 - m_sched_next)
+        v = 0.999 * v + 0.001 * g**2
+        v_prime = v / (1 - 0.999**t)
+        m_bar = (1 - cache_t) * g_prime + cache_t1 * m_prime
+        p = p - 0.002 * m_bar / (np.sqrt(v_prime) + 1e-8)
+        m_sched = m_sched_new
+        np.testing.assert_allclose(np.asarray(params["w"]), p, rtol=1e-5, atol=1e-7)
 
 
 def test_data_based_init():
