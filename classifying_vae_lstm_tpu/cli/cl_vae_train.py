@@ -60,12 +60,14 @@ def train(args):
     data = common.build_cl_vae_datasets(P, args.n_classes, args.use_x_prev)
 
     if args.data_init:
-        # real weight-norm data-dependent init (reference's is a silent no-op, Q4)
-        from ..optim import data_based_init
+        # real weight-norm data-dependent init of every dense layer, applied
+        # sequentially (reference's intended loop, weightnorm.py:196-210, is a
+        # silent no-op under its pinned Keras — quirk Q4); 100-sample batch
+        # matches the reference call site (cl_vae/train.py:65)
+        from ..optim.data_init import data_based_init_cl_vae
 
-        x0 = data["train"]["x"][:100]
-        pre = x0 @ params["h_w"]["kernel"] + params["h_w"]["bias"]
-        params = data_based_init(params, {"h_w": pre})
+        first = {k: v[:100] for k, v in data["train"].items()}
+        params = data_based_init_cl_vae(params, cfg, first, jax.random.PRNGKey(args.seed + 1))
 
     params, resume_kwargs = common.maybe_resume(args, ckpt_path, optimizer, params)
     loss_fn = functools.partial(_loss, cfg)

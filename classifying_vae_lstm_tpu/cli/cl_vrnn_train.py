@@ -55,6 +55,13 @@ def train(args):
     data = common.build_cl_vrnn_datasets(P, args.n_classes, args.use_x_prev)
     print((P.x_train.shape, P.y_train.shape))
 
+    if args.data_init:
+        # real weight-norm data-dependent init (extension; see cl_vae_train)
+        from ..optim.data_init import data_based_init_cl_vrnn
+
+        first = {k: v[:100] for k, v in data["train"].items()}
+        params = data_based_init_cl_vrnn(params, cfg, first, jax.random.PRNGKey(args.seed + 1))
+
     params, resume_kwargs = common.maybe_resume(args, ckpt_path, optimizer, params)
     loss_fn = functools.partial(_loss, cfg)
     if args.check_numerics:
@@ -142,6 +149,8 @@ def build_parser():
                         help="fail fast on NaN/Inf in the first batch's loss/grads (extension)")
     parser.add_argument("--lstm_backend", type=str, default="xla", choices=["xla", "pallas"],
                         help="LSTM sequence backend (extension)")
+    parser.add_argument("--data_init", action="store_true",
+                        help="real weight-norm data-dependent init (reference's was a no-op)")
     return parser
 
 

@@ -249,6 +249,84 @@ def test_keras_nadam_oracle():
         np.testing.assert_allclose(np.asarray(params["w"]), p, rtol=1e-5, atol=1e-7)
 
 
+def test_data_based_init_cl_vae_all_layers_sequential():
+    """Every dense layer is rescaled, and each layer's pre-activation on the
+    init batch (recomputed through the rescaled earlier layers with the same
+    sample keys) is exactly zero-mean/unit-std — the reference's per-layer
+    sess.run loop semantics (weightnorm.py:196-210)."""
+    from classifying_vae_lstm_tpu.models import cl_vae
+    from classifying_vae_lstm_tpu.nn.distributions import (
+        sample_gaussian,
+        sample_logistic_normal,
+    )
+    from classifying_vae_lstm_tpu.optim.data_init import data_based_init_cl_vae
+
+    cfg = cl_vae.Config(original_dim=12, intermediate_dim=8, latent_dim=2,
+                        intermediate_class_dim=6, n_classes=3, use_x_prev=True)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.array((rng.random((100, 12)) < 0.3).astype(np.float32)),
+        "x_prev": jnp.array((rng.random((100, 12)) < 0.3).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(42)
+    new = data_based_init_cl_vae(params, cfg, batch, key)
+    for name in ("h_w", "w_mean", "w_log_var", "h", "z_mean", "z_log_var",
+                 "decoder_h", "x_decoded_mean"):
+        assert not np.allclose(np.asarray(new[name]["kernel"]),
+                               np.asarray(params[name]["kernel"])), name
+
+    # replay the forward pass with the same keys; check exact normalization
+    kw, kz = jax.random.split(key)
+    x = batch["x"]
+    pre = lambda l, a: np.asarray(a @ new[l]["kernel"] + new[l]["bias"])
+
+    def check(o, name):
+        np.testing.assert_allclose(o.mean(0), 0.0, atol=1e-4, err_msg=name)
+        np.testing.assert_allclose(o.std(0), 1.0, atol=1e-2, err_msg=name)
+
+    check(pre("h_w", x), "h_w")
+    h_w = jax.nn.relu(jnp.asarray(pre("h_w", x)))
+    check(pre("w_mean", h_w), "w_mean")
+    check(pre("w_log_var", h_w), "w_log_var")
+    w = sample_logistic_normal(kw, jnp.asarray(pre("w_mean", h_w)),
+                               jnp.asarray(pre("w_log_var", h_w)))
+    xw = jnp.concatenate([x, w], axis=-1)
+    check(pre("h", xw), "h")
+    h = jax.nn.relu(jnp.asarray(pre("h", xw)))
+    check(pre("z_mean", h), "z_mean")
+    check(pre("z_log_var", h), "z_log_var")
+    z = sample_gaussian(kz, jnp.asarray(pre("z_mean", h)), jnp.asarray(pre("z_log_var", h)))
+    wz = jnp.concatenate([w, batch["x_prev"], z], axis=-1)
+    check(pre("decoder_h", wz), "decoder_h")
+    hd = jax.nn.relu(jnp.asarray(pre("decoder_h", wz)))
+    check(pre("x_decoded_mean", hd), "x_decoded_mean")
+
+
+def test_data_based_init_cl_vrnn_heads_and_first_loss():
+    """cl_vrnn init touches hW/Wargs/Z heads/X head (not the LSTMs) and
+    changes the first-batch loss."""
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.optim.data_init import data_based_init_cl_vrnn
+
+    cfg = cl_vrnn.Config(original_dim=10, intermediate_dim=8, latent_dim=2,
+                         seq_length=6, n_classes=3)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.array((rng.random((100, 6, 10)) < 0.2).astype(np.float32))
+    batch = {"x": x, "y": x, "w": jnp.array(np.eye(3, dtype=np.float32)[rng.integers(0, 3, 100)])}
+    new = data_based_init_cl_vrnn(params, cfg, batch, jax.random.PRNGKey(7))
+    for name in ("hW", "Wargs", "Z_mean", "Z_log_var", "X_decoded_mean"):
+        assert not np.allclose(np.asarray(new[name]["kernel"]),
+                               np.asarray(params[name]["kernel"])), name
+    for name in ("encoder_h", "decoder_h"):  # LSTMs untouched (Dense-only filter)
+        np.testing.assert_array_equal(np.asarray(new[name]["kernel"]),
+                                      np.asarray(params[name]["kernel"]))
+    l0, _ = cl_vrnn.loss_and_metrics(params, cfg, batch, jax.random.PRNGKey(9))
+    l1, _ = cl_vrnn.loss_and_metrics(new, cfg, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(l1)) and abs(float(l1) - float(l0)) > 1e-3
+
+
 def test_data_based_init():
     rng = np.random.default_rng(0)
     params = {"h": {"kernel": jnp.array(rng.normal(size=(10, 5)).astype(np.float32)),
