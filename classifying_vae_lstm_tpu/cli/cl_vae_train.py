@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import json
-import os
 
 import jax
 import numpy as np
@@ -80,7 +78,7 @@ def train(args):
                           jnp.float32(1.0), jnp.float32(args.class_weight), jnp.float32(1.0))
         print("check_numerics: first batch loss/grads finite")
     trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
-    log_fn = _make_log_fn(args) if args.do_log else None
+    log_fn = common.make_log_fn(args) if args.do_log else None
     params, best_params, history, best_loss = fit(
         trainer,
         params,
@@ -94,6 +92,7 @@ def train(args):
         patience=args.patience,
         min_epoch=min_epoch,
         checkpoint_path=ckpt_path,
+        log_fn=log_fn,
         save_last=args.save_last or args.resume,
         trace_dir=args.trace_dir,
         **resume_kwargs,
@@ -104,18 +103,6 @@ def train(args):
 
 def _loss(cfg, params, batch, key, kl_w, class_w, w_kl_w):
     return cl_vae.loss_and_metrics(params, cfg, batch, key, kl_w, class_w, w_kl_w)
-
-
-def _make_log_fn(args):
-    os.makedirs(args.log_dir, exist_ok=True)
-    path = os.path.join(args.log_dir, args.run_name + ".jsonl")
-    f = open(path, "a")
-
-    def log_fn(epoch, logs):
-        f.write(json.dumps({"epoch": epoch, **logs}) + "\n")
-        f.flush()
-
-    return log_fn
 
 
 def build_parser():

@@ -118,6 +118,33 @@ def cl_vrnn_config_from_args(margs: dict) -> cl_vrnn.Config:
     )
 
 
+def make_log_fn(args):
+    """--do_log sink: JSONL metrics + TensorBoard scalar events.
+
+    The reference's ``--do_log`` wires a Keras TensorBoard callback
+    (``utils/model_utils.py:149-151``); we emit both a ``<run>.jsonl`` (easy
+    to grep/plot) and a real TB event file under ``<log_dir>/<run_name>/``
+    (:mod:`..utils.tb_events`), viewable next to the profiler traces.
+    """
+    import json
+    import os
+
+    from ..utils.tb_events import ScalarEventWriter
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    path = os.path.join(args.log_dir, args.run_name + ".jsonl")
+    f = open(path, "a")
+    tb = ScalarEventWriter(os.path.join(args.log_dir, args.run_name))
+
+    def log_fn(epoch, logs):
+        f.write(json.dumps({"epoch": epoch, **logs}) + "\n")
+        f.flush()
+        tb.add_scalars(epoch, {k: v for k, v in logs.items()
+                               if isinstance(v, (int, float))})
+
+    return log_fn
+
+
 def maybe_resume(args, ckpt_path: str, optimizer, params):
     """Resume support (extension): load ``<run>.last.npz`` + optimizer state.
 
