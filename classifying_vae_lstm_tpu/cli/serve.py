@@ -112,7 +112,11 @@ def make_handler(engine: GenerationEngine, key_map: dict, is_jsb: bool):
 
 def serve(args):
     engine, key_map = build_engine(args)
-    engine.warmup()
+    if args.warmup == "full":
+        print("warming full bucket grid (no request will ever compile)...")
+        engine.warmup()
+    elif args.warmup == "background":
+        engine.warmup(background=True)
     is_jsb = "jsb" in args.train_file.lower()
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(engine, key_map, is_jsb))
     print(f"serving on http://{args.host}:{args.port} (keys: {sorted(key_map)})")
@@ -129,6 +133,11 @@ def build_parser():
                         choices=["auto", "cl_vae", "cl_vrnn"])
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--warmup", type=str, default="full",
+                        choices=["full", "background", "off"],
+                        help="pre-compile the bucket grid: 'full' blocks until every "
+                             "bucket is compiled; 'background' serves immediately while "
+                             "a daemon thread warms largest-first; 'off' compiles lazily")
     return parser
 
 

@@ -24,8 +24,10 @@ Architecture:
              -> sigmoid Dense X_decoded_mean per step (RandomNormal(0, 0.1))
 
 The reference's ``dropout`` constructor arg exists but is never CLI-exposed
-(SURVEY §2 row 7); we accept and apply it (on the LSTM inputs, Keras-style)
-for completeness, default 0.
+(SURVEY §2 row 7); we accept and apply it with the real Keras-2.0 LSTM
+semantics — four independent per-gate input masks, constant over all
+timesteps, inverted-scaled (:func:`..ops.lstm.keras_lstm_dropout_masks`) —
+default 0.
 """
 
 from __future__ import annotations
@@ -90,14 +92,17 @@ def _repeat_w(w, seq_length):
 
 
 def encode_z_sequence(params, cfg: Config, x, w, h0=None, c0=None, dropout_key=None):
-    """(X, W) -> per-step (Z_mean, Z_log_var) + final LSTM state."""
+    """(X, W) -> per-step (Z_mean, Z_log_var) + final LSTM state.
+
+    ``dropout_key`` enables the Keras-2.0 LSTM ``dropout`` semantics (four
+    per-gate input masks, constant over time — reference
+    ``cl_vrnn/model.py:196``); inert when ``cfg.dropout == 0``.
+    """
     xw = jnp.concatenate([x, _repeat_w(w, x.shape[1])], axis=-1)
-    if cfg.dropout > 0 and dropout_key is not None:
-        keep = jax.random.bernoulli(dropout_key, 1 - cfg.dropout, xw.shape)
-        xw = jnp.where(keep, xw / (1 - cfg.dropout), 0.0)
     h_seq, state = lstm_sequence(
         params["encoder_h"], xw, h0, c0, backend=cfg.lstm_backend, remat=cfg.remat,
         compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
+        dropout=cfg.dropout, dropout_key=dropout_key,
     )
     return dense(params["Z_mean"], h_seq), dense(params["Z_log_var"], h_seq), state
 
@@ -106,12 +111,10 @@ def decode_sequence(params, cfg: Config, z, w, x_prev=None, h0=None, c0=None, dr
     """(Z, W[, Xp]) -> per-step sigmoid X_mean + final LSTM state."""
     xpz = jnp.concatenate([x_prev, z], axis=-1) if cfg.use_x_prev else z
     xpz = jnp.concatenate([xpz, _repeat_w(w, z.shape[1])], axis=-1)
-    if cfg.dropout > 0 and dropout_key is not None:
-        keep = jax.random.bernoulli(dropout_key, 1 - cfg.dropout, xpz.shape)
-        xpz = jnp.where(keep, xpz / (1 - cfg.dropout), 0.0)
     h_seq, state = lstm_sequence(
         params["decoder_h"], xpz, h0, c0, backend=cfg.lstm_backend, remat=cfg.remat,
         compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
+        dropout=cfg.dropout, dropout_key=dropout_key,
     )
     return dense(params["X_decoded_mean"], h_seq, jax.nn.sigmoid), state
 

@@ -56,6 +56,16 @@ def lstm_step(
     return _gates(z, c_prev, hidden_dim, recurrent_activation, activation)
 
 
+def keras_lstm_dropout_masks(key, rate: float, batch: int, in_dim: int, dtype=jnp.float32):
+    """Keras 2.0 LSTM ``dropout`` masks: FOUR independent input masks (one per
+    gate i/f/c/o), each [B, in], CONSTANT over time, inverted-scaled by
+    1/(1-rate) (``keras/layers/recurrent.py`` ``get_constants``: the masks are
+    built once per forward from ``ones_like(input[:, 0, :])``). Returns
+    [4, B, in]."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, (4, batch, in_dim))
+    return keep.astype(dtype) / (1.0 - rate)
+
+
 def lstm_sequence(
     params,
     x,
@@ -67,6 +77,8 @@ def lstm_sequence(
     unroll: int = 4,
     remat: bool = False,
     compute_dtype=None,
+    dropout: float = 0.0,
+    dropout_key=None,
 ):
     """Run an LSTM over a full sequence. x: [B, T, in] -> h_seq [B, T, H].
 
@@ -82,7 +94,11 @@ def lstm_sequence(
       blockwise/context-parallel scaling);
     * ``compute_dtype=jnp.bfloat16`` casts the matmul operands (accumulation
       stays f32 via ``preferred_element_type``) — the MXU-native mode for
-      scaled-up hidden sizes.
+      scaled-up hidden sizes;
+    * ``dropout``/``dropout_key``: Keras-2.0 LSTM constructor-``dropout``
+      semantics (per-gate input masks, constant over time — see
+      :func:`keras_lstm_dropout_masks`); the masks only reshape the hoisted
+      projection into four per-gate MXU matmuls, the scan is unchanged.
     """
     B, T, _ = x.shape
     hidden_dim = params["recurrent_kernel"].shape[0]
@@ -92,6 +108,8 @@ def lstm_sequence(
         c0 = jnp.zeros((B, hidden_dim), x.dtype)
 
     if backend == "pallas":
+        if dropout > 0 and dropout_key is not None:
+            raise ValueError("dropout is not supported on the pallas backend")
         from .pallas_lstm import lstm_sequence_pallas
 
         return lstm_sequence_pallas(params, x, h0, c0)
@@ -104,11 +122,23 @@ def lstm_sequence(
         kernel = params["kernel"]
         precision = "highest"
 
-    # Hoist the input projection: [B*T, in] @ [in, 4H] in one MXU pass.
-    xz = (
-        jnp.dot(x, kernel, preferred_element_type=jnp.float32, precision=precision)
-        + params["bias"]
-    )
+    if dropout > 0 and dropout_key is not None:
+        masks = keras_lstm_dropout_masks(dropout_key, dropout, B, x.shape[-1], x.dtype)
+        H = hidden_dim
+        xz = jnp.concatenate(
+            [
+                jnp.dot(x * masks[g][:, None, :], kernel[:, g * H : (g + 1) * H],
+                        preferred_element_type=jnp.float32, precision=precision)
+                for g in range(4)
+            ],
+            axis=-1,
+        ) + params["bias"]
+    else:
+        # Hoist the input projection: [B*T, in] @ [in, 4H] in one MXU pass.
+        xz = (
+            jnp.dot(x, kernel, preferred_element_type=jnp.float32, precision=precision)
+            + params["bias"]
+        )
     xz_t = jnp.swapaxes(xz, 0, 1)  # time-major for the scan: [T, B, 4H]
 
     rk = params["recurrent_kernel"]

@@ -67,11 +67,27 @@ class GenerationEngine:
             self._key, k = jax.random.split(self._key)
             return k
 
-    def warmup(self, batch_buckets=None, step_buckets=None):
-        """Pre-compile the (batch, nsteps) grid so requests never compile."""
-        for b in batch_buckets or self.BATCH_BUCKETS[:2]:
-            for t in step_buckets or self.STEP_BUCKETS[:2]:
-                self._generate_bucket(b, t)
+    def warmup(self, batch_buckets=None, step_buckets=None, background=False):
+        """Pre-compile the FULL (batch, nsteps) bucket grid by default, so no
+        request — including a worst-case 64x256 first request — ever has an
+        XLA compile in its latency. ``background=True`` compiles in a daemon
+        thread (largest bucket first, so the worst case is covered earliest)
+        and returns the thread; the server can accept requests meanwhile.
+        """
+        bb = batch_buckets or self.BATCH_BUCKETS
+        sb = step_buckets or self.STEP_BUCKETS
+        pairs = sorted(((b, t) for b in bb for t in sb),
+                       key=lambda p: -(p[0] * p[1]))
+        if background:
+            th = threading.Thread(
+                target=lambda: [self._generate_bucket(b, t) for b, t in pairs],
+                daemon=True,
+            )
+            th.start()
+            return th
+        for b, t in pairs:
+            self._generate_bucket(b, t)
+        return None
 
     def _mark_bucket(self, b: int, t: int) -> None:
         with self._lock:

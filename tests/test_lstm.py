@@ -91,3 +91,62 @@ def test_bf16_compute_close_to_f32():
     b, _ = lstm_sequence(p, x, compute_dtype=jnp.bfloat16)
     assert b.dtype == jnp.float32  # accumulation and gates stay f32
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.05)
+
+
+def test_keras_lstm_dropout_masks_semantics():
+    """Keras-2.0 dropout: 4 per-gate masks, values in {0, 1/(1-p)}."""
+    from classifying_vae_lstm_tpu.ops.lstm import keras_lstm_dropout_masks
+
+    masks = np.asarray(keras_lstm_dropout_masks(jax.random.PRNGKey(0), 0.25, 32, 20))
+    assert masks.shape == (4, 32, 20)
+    vals = np.unique(masks)
+    np.testing.assert_allclose(sorted(vals), [0.0, 1.0 / 0.75], rtol=1e-6)
+    # the four gate masks are independent draws, not copies
+    assert not np.array_equal(masks[0], masks[1])
+
+
+def test_lstm_sequence_dropout_matches_manual_per_gate():
+    """lstm_sequence(dropout=...) == manual per-gate masked projections with
+    the same masks, constant over time."""
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops.lstm import (
+        keras_lstm_dropout_masks,
+        lstm_sequence,
+        lstm_step,
+    )
+
+    B, T, D, H = 5, 7, 6, 8
+    params = init_lstm(jax.random.PRNGKey(0), D, H)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    dkey = jax.random.PRNGKey(2)
+    h_seq, _ = lstm_sequence(params, x, dropout=0.4, dropout_key=dkey)
+
+    masks = keras_lstm_dropout_masks(dkey, 0.4, B, D)
+    h = jnp.zeros((B, H))
+    c = jnp.zeros((B, H))
+    from classifying_vae_lstm_tpu.nn.core import hard_sigmoid
+    from classifying_vae_lstm_tpu.ops.lstm import _gates
+
+    for t in range(T):
+        z = jnp.concatenate(
+            [(x[:, t] * masks[g]) @ params["kernel"][:, g * H:(g + 1) * H]
+             for g in range(4)], axis=-1,
+        ) + params["bias"] + h @ params["recurrent_kernel"]
+        h, c = _gates(z, c, H, hard_sigmoid, jnp.tanh)
+        np.testing.assert_allclose(np.asarray(h_seq[:, t]), np.asarray(h),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_cl_vrnn_dropout_trains():
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+
+    cfg = cl_vrnn.Config(original_dim=10, intermediate_dim=8, latent_dim=2,
+                         seq_length=5, n_classes=3, dropout=0.3)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (8, 5, 10)) < 0.2).astype(jnp.float32)
+    batch = {"x": x, "y": x, "w": jnp.eye(3)[jnp.arange(8) % 3]}
+    loss, _ = cl_vrnn.loss_and_metrics(params, cfg, batch, jax.random.PRNGKey(2))
+    cfg0 = cl_vrnn.Config(**{**cfg.__dict__, "dropout": 0.0})
+    loss0, _ = cl_vrnn.loss_and_metrics(params, cfg0, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert abs(float(loss) - float(loss0)) > 1e-6  # dropout actually applied

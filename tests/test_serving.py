@@ -106,6 +106,33 @@ def test_engine_warmup_precompiles_buckets():
     assert eng.stats["compiles"] == c
 
 
+def test_engine_warmup_covers_full_grid_by_default():
+    """Default warmup compiles EVERY bucket: any later request, including the
+    worst-case largest one, reuses a warmed bucket (VERDICT weak #6)."""
+    eng = _engine()
+    eng.BATCH_BUCKETS = (1, 2)  # shrink the grid for test wall-clock
+    eng.STEP_BUCKETS = (8, 16)
+    eng.warmup()
+    assert eng.stats["compiles"] == 4  # full grid, not a corner
+    c = eng.stats["compiles"]
+    eng.generate(n=2, nsteps=16)  # worst-case bucket: no new compile
+    eng.generate(n=1, nsteps=5)
+    assert eng.stats["compiles"] == c
+
+
+def test_engine_warmup_background_thread():
+    eng = _engine()
+    eng.BATCH_BUCKETS = (1,)
+    eng.STEP_BUCKETS = (8, 16)
+    th = eng.warmup(background=True)
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert eng.stats["compiles"] == 2
+    c = eng.stats["compiles"]
+    eng.generate(n=1, nsteps=16)
+    assert eng.stats["compiles"] == c
+
+
 def test_engine_serves_cl_vae_family():
     from classifying_vae_lstm_tpu.models import cl_vae
 
