@@ -1,0 +1,124 @@
+"""Piano-midi corpus builder: SMF parsing, quantization, key labeling, and
+drop-in compatibility of the emitted pickle with PianoData (BASELINE configs
+3/5 readiness; the public corpus itself is unreachable offline)."""
+
+import pickle
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tools.make_pianomidi_pickle import (
+    build_corpus,
+    estimate_key,
+    key_from_midi,
+    parse_smf,
+    quantize_to_song,
+    transpose_corpus,
+    transpose_song,
+)
+
+
+def _vlq(n):
+    out = [n & 0x7F]
+    n >>= 7
+    while n:
+        out.insert(0, 0x80 | (n & 0x7F))
+        n >>= 7
+    return bytes(out)
+
+
+def _smf(events, division=480, key_sig=None, fmt=0):
+    """Build a one-track SMF. events: list of (delta, status_or_None, data...)
+    — status None reuses running status."""
+    track = bytearray()
+    if key_sig is not None:
+        sf, mi = key_sig
+        track += _vlq(0) + bytes([0xFF, 0x59, 0x02, sf & 0xFF, mi])
+    for ev in events:
+        delta, status, *data = ev
+        track += _vlq(delta)
+        if status is not None:
+            track.append(status)
+        track += bytes(data)
+    track += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    head = b"MThd" + struct.pack(">IHHH", 6, fmt, 1, division)
+    return head + b"MTrk" + struct.pack(">I", len(track)) + bytes(track)
+
+
+def test_parse_smf_running_status_and_keysig():
+    data = _smf([
+        (0, 0x90, 60, 100),     # C4 on
+        (240, None, 60, 0),     # running status: vel-0 -> off
+        (0, None, 64, 100),     # E4 on (running status)
+        (480, 0x80, 64, 64),    # explicit off
+    ], key_sig=(0, 0))
+    division, notes, key_sig = parse_smf(data)
+    assert division == 480 and key_sig == (0, 0)
+    assert sorted(notes) == [(0, 240, 60), (240, 720, 64)]
+
+
+def test_quantize_eighth_notes():
+    # division 480 -> eighth = 240 ticks
+    song = quantize_to_song(480, [(0, 240, 60), (240, 720, 64)])
+    assert song == [[60], [64], [64]]
+    # a note shorter than a frame still lands in exactly one frame
+    assert quantize_to_song(480, [(0, 100, 72)]) == [[72]]
+
+
+def test_key_from_keysig_tables():
+    assert key_from_midi((0, 0), []) == "C"
+    assert key_from_midi((-3, 0), []) == "E-"
+    assert key_from_midi((-3, 1), []) == "c"
+    assert key_from_midi((3, 1), []) == "f#"
+
+
+def test_key_estimate_c_major():
+    # long C-E-G-C content -> C major
+    notes = [(0, 960, 60), (0, 960, 64), (0, 960, 67), (960, 1920, 72),
+             (960, 1920, 65), (1920, 2400, 62), (1920, 2400, 59)]
+    assert estimate_key(notes) == "C"
+
+
+def test_transpose_song_to_c():
+    song = [[62, 66, 69]]  # D major triad
+    out, key = transpose_song(song, "D")
+    assert key == "C" and out == [[60, 64, 67]]
+    out, key = transpose_song([[67]], "g")  # minor stays minor; g (pc 7) -> +5
+    assert key == "c" and out == [[72]]
+
+
+def test_build_corpus_and_pianodata_dropin(tmp_path):
+    """End to end: .mid dir -> pickle -> PianoData loads it like JSB."""
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        sf = [0, -3, 1][i % 3]
+        mi = 1 if i % 3 == 1 else 0
+        events = []
+        pitch_base = 55 + (i % 4)
+        for j in range(20):  # 20 quarter notes
+            p = pitch_base + int(rng.integers(0, 12))
+            events.append((0 if j == 0 else 480, 0x90, p, 90))
+            events.append((480, 0x80, p, 64))
+        (tmp_path / f"piece{i}.mid").write_bytes(
+            _smf(events[:-1] + [events[-1]], key_sig=(sf, mi)))
+    D = build_corpus(str(tmp_path))
+    assert len(D["train"]) == 5 and len(D["valid"]) == 1 and len(D["test"]) == 2
+    assert all(isinstance(k, str) for k in D["train_key"])
+
+    out = tmp_path / "Piano-test_all.pickle"
+    with open(out, "wb") as f:
+        pickle.dump(D, f, protocol=2)
+
+    from classifying_vae_lstm_tpu.data import PianoData
+
+    P = PianoData(str(out), batch_size=2, seq_length=4, return_y_next=False,
+                  return_y_hist=True, squeeze_x=False, squeeze_y=False)
+    assert P.x_train.shape[1:] == (4, 88)
+    assert P.x_train.shape[0] > 0
+    assert len(np.unique(P.train_song_keys)) >= 1  # key labels flowed through
+
+    Dc = transpose_corpus(D)
+    assert set(Dc["train_key"]) <= {"C", "c"}
