@@ -118,6 +118,30 @@ def cl_vrnn_config_from_args(margs: dict) -> cl_vrnn.Config:
     )
 
 
+def resolve_lstm_backend(cfg, choice: str = "auto"):
+    """Pick the LSTM backend for forward-dominated paths (evaluate/serve).
+
+    'keep' leaves the checkpoint's setting (evaluate's default: the headline
+    NLL numerics stay exactly what the checkpoint trained with). 'auto'
+    (serving's default) picks the Pallas fused kernel + bf16 operands at
+    hidden>=512 on TPU — measured 1.2-1.4x over the XLA scan, 80+ achieved
+    TFLOP/s at hidden 1024 (`artifacts/pallas_scale_bench.json`); at the
+    reference's 88-wide sizes XLA's pipelined scan wins and is kept.
+    """
+    import dataclasses
+
+    import jax
+
+    if choice == "keep":
+        return cfg
+    if choice == "auto":
+        use_pallas = cfg.intermediate_dim >= 512 and jax.default_backend() == "tpu"
+        if use_pallas:
+            return dataclasses.replace(cfg, lstm_backend="pallas", bf16_compute=True)
+        return dataclasses.replace(cfg, lstm_backend="xla")
+    return dataclasses.replace(cfg, lstm_backend=choice)
+
+
 def make_log_fn(args):
     """--do_log sink: JSONL metrics + TensorBoard scalar events.
 

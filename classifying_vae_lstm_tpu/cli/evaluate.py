@@ -28,6 +28,8 @@ def evaluate(args):
         margs_probe = load_model_args(args.model_file)
         args.family = "cl_vae" if "intermediate_class_dim" in margs_probe else "cl_vrnn"
     params, cfg, margs = common.load_model(args.model_file, args.family)
+    if args.family == "cl_vrnn":
+        cfg = common.resolve_lstm_backend(cfg, args.lstm_backend)
     # batch_size=1 here: PianoData truncates every split to a multiple of its
     # batch_size (utils/pianoroll.py:154-158); the estimator pads the final
     # batch itself, so the headline NLL covers 100% of test windows
@@ -72,6 +74,12 @@ def build_parser():
     parser.add_argument("--batch_size", type=int, default=200)
     parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lstm_backend", type=str, default="keep",
+                        choices=["keep", "auto", "xla", "pallas"],
+                        help="LSTM backend override for this forward-dominated path; "
+                             "'keep' = checkpoint's setting (exact numerics), 'auto' = "
+                             "Pallas fused kernel + bf16 at hidden>=512 on TPU (measured "
+                             "1.2-1.4x over the XLA scan, artifacts/pallas_scale_bench.json)")
     return parser
 
 

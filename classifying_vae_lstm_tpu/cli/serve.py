@@ -38,6 +38,10 @@ def build_engine(args) -> tuple[GenerationEngine, dict]:
     if family == "auto":
         family = "cl_vae" if "intermediate_class_dim" in load_model_args(args.model_file) else "cl_vrnn"
     params, cfg, margs = common.load_model(args.model_file, family)
+    if family == "cl_vrnn":
+        # serving is forward-dominated: at hidden>=512 on TPU the Pallas
+        # fused kernel + bf16 wins 1.2-1.4x (pallas_scale_bench.json)
+        cfg = common.resolve_lstm_backend(cfg, getattr(args, "lstm_backend", "auto"))
     squeeze = family == "cl_vae"
     P = PianoData(args.train_file, batch_size=1, seq_length=args.seed_len, squeeze_x=squeeze)
     seeds = P.x_test[:, 0] if family == "cl_vae" and P.x_test.ndim == 3 else P.x_test
@@ -133,6 +137,9 @@ def build_parser():
                         choices=["auto", "cl_vae", "cl_vrnn"])
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--lstm_backend", type=str, default="auto",
+                        choices=["auto", "keep", "xla", "pallas"],
+                        help="'auto' = Pallas fused kernel + bf16 at hidden>=512 on TPU")
     parser.add_argument("--warmup", type=str, default="full",
                         choices=["full", "background", "off"],
                         help="pre-compile the bucket grid: 'full' blocks until every "

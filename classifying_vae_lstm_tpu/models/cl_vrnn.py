@@ -213,51 +213,6 @@ def _apply_fused(params, cfg: Config, x, key, x_prev=None):
     }
 
 
-def apply_pallas_inference(params, cfg: Config, x, key, x_prev=None):
-    """Forward pass via the fused-STORN Pallas kernel (inference only).
-
-    Same math as :func:`_apply_fused` (same key splits, same pre-drawn noise)
-    but the whole recurrence runs in one TPU kernel with all four LSTM states
-    in VMEM (:mod:`..ops.pallas_storn`). No gradient — use for evaluation and
-    serving; training keeps the fused XLA scan.
-    """
-    from ..ops.pallas_storn import storn_forward_pallas
-
-    kw, kz, _, _ = jax.random.split(key, 4)
-    B, T, D = x.shape
-    L = cfg.latent_dim
-    W_mean, W_log_var = encode_w(params, cfg, x)
-    W = sample_logistic_normal(kw, W_mean, W_log_var)
-    eps = jax.random.normal(kz, (B, T, L))
-
-    xw = jnp.concatenate([x, _repeat_w(W, T)], axis=-1)
-    enc = params["encoder_h"]
-    dec = params["decoder_h"]
-    hp = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32, precision="highest")
-    xz_enc = hp(xw, enc["kernel"]) + enc["bias"]
-    n_xp = D if cfg.use_x_prev else 0
-    k_xp = dec["kernel"][:n_xp]
-    k_w = dec["kernel"][n_xp + L :]
-    xz_dec = hp(_repeat_w(W, T), k_w) + dec["bias"]
-    if cfg.use_x_prev:
-        xz_dec = xz_dec + hp(x_prev, k_xp)
-
-    tm = lambda a: jnp.swapaxes(a, 0, 1)
-    h_d_seq, zm_seq, zv_seq, z_seq = storn_forward_pallas(
-        params, cfg, tm(xz_enc), tm(xz_dec), tm(eps)
-    )
-    X_decoded_mean = dense(params["X_decoded_mean"], tm(h_d_seq), jax.nn.sigmoid)
-    return {
-        "X_decoded_mean": X_decoded_mean,
-        "W": W,
-        "W_mean": W_mean,
-        "W_log_var": W_log_var,
-        "Z": tm(z_seq),
-        "Z_mean": tm(zm_seq),
-        "Z_log_var": tm(zv_seq),
-    }
-
-
 def apply(params, cfg: Config, x, key, x_prev=None):
     """Full stochastic forward pass over a window batch [B, T, D].
 

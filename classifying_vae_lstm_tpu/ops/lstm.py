@@ -112,7 +112,7 @@ def lstm_sequence(
             raise ValueError("dropout is not supported on the pallas backend")
         from .pallas_lstm import lstm_sequence_pallas
 
-        return lstm_sequence_pallas(params, x, h0, c0)
+        return lstm_sequence_pallas(params, x, h0, c0, compute_dtype=compute_dtype)
 
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

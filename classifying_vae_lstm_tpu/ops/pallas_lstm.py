@@ -22,11 +22,18 @@ forward saves (h_seq, c_seq) from the kernel and whose backward is an XLA
 reverse-time scan recomputing the gates — forward fusion is where the win is;
 the backward is matmul-bound and XLA handles it well.
 
-Measured on TPU v5e at reference sizes (B=200, T=16, H=88): forward ~1.9x the
-XLA scan (350 us vs 648 us); full training step is a wash (~1220 vs ~1230
-steps/s — the backward recompute offsets the forward win) with a much longer
-compile. Default backend therefore stays 'xla' for training; 'pallas' pays off
-for forward-dominated paths (evaluation, encoder-only serving).
+Measured on TPU v5e (`tools/bench_pallas_scale.py`, results committed in
+`artifacts/pallas_scale_bench.json`):
+
+* reference sizes (B=200, T=16, H=88, f32): the XLA scan wins the end-to-end
+  forward (702 vs 1220 us incl. input projection) and training is a wash —
+  default backend stays 'xla' there;
+* scaled sizes with bf16 weights resident in VMEM and the xz stream
+  double-buffered across a time-tiled grid (``_lstm_seq_kernel_tblocked``):
+  the kernel WINS — 1.36x at H=1024/B=1024 (1911 vs 2594 us, 80.9 achieved
+  TFLOP/s = 41% of v5e bf16 peak) and 1.21x at T=64/B=256. Wired into the
+  forward-dominated shipping paths: ``cli/evaluate.py --lstm_backend`` and
+  ``cli/serve.py`` ('auto' selects it at hidden>=512 on TPU).
 
 Falls back to interpret mode automatically off-TPU so tests run on the CPU
 mesh. Select with ``lstm_backend='pallas'`` (cl_vrnn Config / CLI flag).
@@ -52,10 +59,12 @@ def _lstm_seq_kernel(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, 
     H = h0_ref.shape[-1]
     h_scr[:] = h0_ref[:]
     c_scr[:] = c0_ref[:]
+    wt = rk_ref.dtype
+    prec = "highest" if wt == jnp.float32 else None
 
     def step(t, _):
-        z = xz_ref[t] + jnp.dot(
-            h_scr[:], rk_ref[:], preferred_element_type=jnp.float32, precision="highest"
+        z = xz_ref[t].astype(jnp.float32) + jnp.dot(
+            h_scr[:].astype(wt), rk_ref[:], preferred_element_type=jnp.float32, precision=prec
         )
         i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
         f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
@@ -72,24 +81,93 @@ def _lstm_seq_kernel(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, 
     jax.lax.fori_loop(0, T, step, 0)
 
 
-def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int):
-    """xz_t: [T, B, 4H] time-major -> (h_seq, c_seq) [T, B, H]."""
+def _lstm_seq_kernel_tblocked(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, c_scr):
+    """Grid (nb, nt): t-blocks iterate sequentially (innermost grid dim), so
+    the (h, c) VMEM scratch carries across them — this is the double-buffered
+    DMA form: while this t-block computes, pallas prefetches the next xz
+    block, so at large H the recurrent matmul fully overlaps the xz stream.
+    The recurrent weight block index is constant, so it is fetched once and
+    stays resident (pass it bf16 at scale: at H=1024 it is 8 MB of the
+    ~16 MB/core VMEM)."""
+    T_blk = xz_ref.shape[0]
+    H = h_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+
+    def step(t, _):
+        z = xz_ref[t].astype(f32) + jnp.dot(
+            h_scr[:].astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
+        )
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_scr[:] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[:] = h
+        c_scr[:] = c
+        hseq_ref[t] = h
+        cseq_ref[t] = c
+        return 0
+
+    jax.lax.fori_loop(0, T_blk, step, 0)
+
+
+def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = None):
+    """xz_t: [T, B, 4H] time-major -> (h_seq, c_seq) [T, B, H].
+
+    ``block_t=None`` keeps the whole sequence block in VMEM (reference sizes);
+    a value tiles time across the innermost grid dim with the state carried in
+    scratch (scaled sizes — see :func:`_lstm_seq_kernel_tblocked`)."""
     T, B, H4 = xz_t.shape
     H = H4 // 4
     nb = pl.cdiv(B, block_b)
-    grid = (nb,)
+    if block_t is None:
+        kernel = pl.pallas_call(
+            _lstm_seq_kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((T, block_b, H4), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, H4), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, H), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, H), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((T, block_b, H), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, block_b, H), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_b, H), jnp.float32),
+                pltpu.VMEM((block_b, H), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )
+        return kernel(xz_t, rk, h0, c0)
+
+    nt = pl.cdiv(T, block_t)
     kernel = pl.pallas_call(
-        _lstm_seq_kernel,
-        grid=grid,
+        _lstm_seq_kernel_tblocked,
+        grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((T, block_b, H4), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, H), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, H), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H4), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((T, block_b, H), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, block_b, H), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
@@ -104,20 +182,44 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int):
     return kernel(xz_t, rk, h0, c0)
 
 
-def _pick_block_b(B: int, T: int, H: int) -> int:
-    """Largest batch block whose VMEM footprint stays under ~8 MB."""
-    for bb in (512, 256, 128, 64, 32, 16, 8):
-        if B % bb != 0:
+def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int) -> tuple[int, int | None]:
+    """(block_b, block_t) from a ~14 MB VMEM budget (16 MB/core minus slack).
+
+    The resident recurrent weight costs ``H * 4H * rk_bytes_per_el``; the
+    streamed blocks are double-buffered (x2). Prefers the whole-T kernel when
+    it fits (one grid dim, no carry re-init); falls back to time tiling."""
+    budget = 14 * 1024 * 1024
+    rk_cost = H * 4 * H * rk_bytes_per_el
+    # Mosaic needs the sublane (second-to-last) block dim divisible by 8
+    # unless it equals the full array dim
+    b_divs = sorted((d for d in range(1, B + 1)
+                     if B % d == 0 and (d % 8 == 0 or d == B)), reverse=True)
+    # single-block fast path: grid (1,), nothing double-buffered (round-1
+    # regime — B=200 whole-batch fits and runs fastest)
+    single = rk_cost + 4 * (T * B * 4 * H + 2 * T * B * H) + 4 * 2 * B * H
+    if single < budget:
+        return B, None
+    for bb in b_divs:  # whole-T kernel next: one grid dim, no carry re-init
+        whole = rk_cost + 4 * 2 * (T * bb * 4 * H + 2 * T * bb * H) + 4 * 2 * bb * H
+        if whole < budget:
+            return bb, None
+    t_divs = sorted((d for d in range(1, T + 1) if T % d == 0), reverse=True)
+    for bb in b_divs:
+        if bb > 256:
             continue
-        bytes_needed = 4 * (T * bb * 4 * H + T * bb * 2 * H + 2 * bb * H + H * 4 * H)
-        if bytes_needed < 8 * 1024 * 1024:
-            return bb
-    return B
+        for bt in t_divs:  # bb first: a wide [bb, H] @ [H, 4H] feeds the MXU
+            need = rk_cost + 4 * 2 * (bt * bb * 4 * H + 2 * bt * bb * H) + 4 * 2 * bb * H
+            if need < budget:
+                return bb, bt
+    return b_divs[-1], t_divs[-1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _lstm_pallas_core(xz_t, rk, h0, c0):
-    h_seq, c_seq = _forward_kernel_call(xz_t, rk, h0, c0, _pick_block_b(xz_t.shape[1], xz_t.shape[0], h0.shape[-1]))
+    block_b, block_t = _pick_blocks(
+        xz_t.shape[1], xz_t.shape[0], h0.shape[-1], rk.dtype.itemsize
+    )
+    h_seq, c_seq = _forward_kernel_call(xz_t, rk, h0, c0, block_b, block_t)
     return h_seq, c_seq
 
 
@@ -132,6 +234,8 @@ def _core_bwd(res, grads):
     dh_seq, dc_seq = grads
     T, B, H4 = xz_t.shape
     H = H4 // 4
+    rk_in_dtype = rk.dtype
+    rk = rk.astype(jnp.float32)  # bf16 weights at scale: bwd scan stays f32
 
     h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
@@ -165,19 +269,27 @@ def _core_bwd(res, grads):
     init = (jnp.zeros_like(h0), jnp.zeros_like(c0), jnp.zeros_like(rk))
     xs = (xz_t, h_prev_seq, c_prev_seq, c_seq, dh_seq, dc_seq)
     (dh0, dc0, drk), dxz = jax.lax.scan(step, init, xs, reverse=True)
-    return dxz, drk, dh0, dc0
+    return dxz, drk.astype(rk_in_dtype), dh0, dc0
 
 
 _lstm_pallas_core.defvjp(_core_fwd, _core_bwd)
 
 
-def lstm_sequence_pallas(params, x, h0, c0):
-    """Drop-in for :func:`..ops.lstm.lstm_sequence` with the fused kernel."""
+def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
+    """Drop-in for :func:`..ops.lstm.lstm_sequence` with the fused kernel.
+
+    ``compute_dtype=jnp.bfloat16`` is the scaled mode: matmul operands in
+    bf16 (f32 accumulation), and — decisive for VMEM at H>=512 — the resident
+    recurrent weight stored bf16 inside the kernel."""
     # the FLOP-heavy input projection stays a single large XLA matmul
-    xz = (
-        jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32, precision="highest")
-        + params["bias"]
-    )
+    if compute_dtype is not None:
+        xz = jnp.dot(x.astype(compute_dtype), params["kernel"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32) + params["bias"]
+        rk = params["recurrent_kernel"].astype(compute_dtype)
+    else:
+        xz = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32,
+                     precision="highest") + params["bias"]
+        rk = params["recurrent_kernel"].astype(jnp.float32)
     xz_t = jnp.swapaxes(xz, 0, 1).astype(jnp.float32)
-    h_seq, c_seq = _lstm_pallas_core(xz_t, params["recurrent_kernel"].astype(jnp.float32), h0, c0)
+    h_seq, c_seq = _lstm_pallas_core(xz_t, rk, h0, c0)
     return jnp.swapaxes(h_seq, 0, 1), (h_seq[-1], c_seq[-1])

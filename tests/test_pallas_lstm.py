@@ -71,3 +71,50 @@ def test_cl_vrnn_pallas_backend_trains():
         params = optax.apply_updates(params, updates)
         loss0 = loss0 or float(loss)
     assert float(loss) < loss0
+
+
+def test_tblocked_kernel_matches_xla_scan():
+    """The scaled (time-tiled, scratch-carried) kernel path is numerically
+    identical to the XLA scan — carry survives across t-blocks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+    from classifying_vae_lstm_tpu.ops.pallas_lstm import _forward_kernel_call
+
+    B, T, D, H = 16, 8, 12, 16
+    params = init_lstm(jax.random.PRNGKey(0), D, H)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    ref, (hT, cT) = lstm_sequence(params, x, backend="xla")
+
+    xz = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32,
+                 precision="highest") + params["bias"]
+    xz_t = jnp.swapaxes(xz, 0, 1)
+    h0 = jnp.zeros((B, H))
+    for block_b, block_t in [(8, 2), (16, 4), (8, 1)]:
+        h_seq, c_seq = _forward_kernel_call(
+            xz_t, params["recurrent_kernel"], h0, h0, block_b, block_t)
+        np.testing.assert_allclose(np.asarray(jnp.swapaxes(h_seq, 0, 1)),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h_seq[-1]), np.asarray(hT),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_bf16_mode_close_to_f32():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops.pallas_lstm import lstm_sequence_pallas
+
+    B, T, D, H = 8, 6, 10, 16
+    params = init_lstm(jax.random.PRNGKey(0), D, H)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    h0 = jnp.zeros((B, H))
+    h32, _ = lstm_sequence_pallas(params, x, h0, h0)
+    h16, _ = lstm_sequence_pallas(params, x, h0, h0, compute_dtype=jnp.bfloat16)
+    assert h16.dtype == jnp.float32  # f32 accumulation/state
+    np.testing.assert_allclose(np.asarray(h16), np.asarray(h32), rtol=0.05, atol=0.03)

@@ -174,3 +174,18 @@ def test_build_engine_from_trained_checkpoint(jsb_cs_path, tmp_path):
     assert set(key_map) == {"C", "E-"}
     out = engine.generate(n=1, nsteps=16)
     assert out.shape == (1, 16, 88)
+
+
+def test_resolve_lstm_backend_policy():
+    """'keep' preserves, explicit overrides, 'auto' only flips at scale on TPU
+    (tests run on CPU, so auto always resolves to xla here)."""
+    from classifying_vae_lstm_tpu.cli.common import resolve_lstm_backend
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+
+    cfg = cl_vrnn.Config(intermediate_dim=1024, lstm_backend="xla")
+    assert resolve_lstm_backend(cfg, "keep") is cfg
+    assert resolve_lstm_backend(cfg, "pallas").lstm_backend == "pallas"
+    auto = resolve_lstm_backend(cfg, "auto")
+    assert auto.lstm_backend == "xla"  # CPU test env: no TPU, stays xla
+    small = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=88), "auto")
+    assert small.lstm_backend == "xla" and not small.bf16_compute
