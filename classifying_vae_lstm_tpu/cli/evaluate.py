@@ -50,10 +50,21 @@ def evaluate(args):
         data = common.build_cl_vrnn_datasets(P, margs["n_classes"], cfg.use_x_prev)["test"]
 
     data = {k: v for k, v in data.items() if k in ("x", "y", "x_prev")}
-    nlls = np.asarray(
-        iw_nll_dataset(params, cfg, data, jax.random.PRNGKey(args.seed),
-                       args.n_samples, args.batch_size, args.family)
-    )
+    if args.dp > 1:
+        # shard the (embarrassingly parallel) estimator over a data mesh
+        from ..evaluation.nll import iw_nll_dataset_dp
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_model=1)
+        nlls = np.asarray(
+            iw_nll_dataset_dp(params, cfg, data, jax.random.PRNGKey(args.seed),
+                              args.n_samples, args.batch_size, args.family, mesh)
+        )
+    else:
+        nlls = np.asarray(
+            iw_nll_dataset(params, cfg, data, jax.random.PRNGKey(args.seed),
+                           args.n_samples, args.batch_size, args.family)
+        )
     out = {
         "test_nll_nats_per_frame": round(float(nlls.mean()), 4),
         "n_importance_samples": args.n_samples,
@@ -74,6 +85,9 @@ def build_parser():
     parser.add_argument("--batch_size", type=int, default=200)
     parser.add_argument("--train_file", type=str, default=common.DEFAULT_TRAIN_FILE)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="shard the NLL estimator over this many devices "
+                             "(data-parallel; identical numerics)")
     parser.add_argument("--lstm_backend", type=str, default="keep",
                         choices=["keep", "auto", "xla", "pallas"],
                         help="LSTM backend override for this forward-dominated path; "

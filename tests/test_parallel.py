@@ -138,3 +138,34 @@ def test_shard_map_step_matches_gspmd_step():
     p_oracle = optax.apply_updates(params, updates)
     for a, b in zip(jax.tree.leaves(p_oracle), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_dp_nll_matches_single_device():
+    """iw_nll_dataset_dp on the 8-device mesh == iw_nll_dataset single-device:
+    same keys -> same draws; sharding must not change the math."""
+    import jax.numpy as jnp
+
+    from classifying_vae_lstm_tpu.evaluation.nll import (
+        iw_nll_dataset,
+        iw_nll_dataset_dp,
+    )
+    from classifying_vae_lstm_tpu.models import cl_vae
+    from classifying_vae_lstm_tpu.parallel import make_mesh
+
+    cfg = cl_vae.Config(original_dim=12, intermediate_dim=8, latent_dim=2,
+                        intermediate_class_dim=6, n_classes=3)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    n = 53  # forces a padded final batch too
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (n, 12)) < 0.2).astype(jnp.float32)
+    data = {"x": x, "y": x}
+    key = jax.random.PRNGKey(2)
+    single = np.asarray(iw_nll_dataset(params, cfg, data, key, 4, 16))
+    mesh = make_mesh(n_data=8, n_model=1)
+    dp = np.asarray(iw_nll_dataset_dp(params, cfg, data, key, 4, 16, "cl_vae", mesh))
+    assert dp.shape == (n,)
+    np.testing.assert_allclose(dp, single, rtol=2e-5, atol=2e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        iw_nll_dataset_dp(params, cfg, data, key, 4, 12, "cl_vae", mesh)  # 12 % 8
