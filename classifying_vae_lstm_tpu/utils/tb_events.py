@@ -235,3 +235,9 @@ def jsonl_to_tb(jsonl_path: str, logdir: str) -> str:
                                   if isinstance(v, (int, float))})
     w.close()
     return w.path
+
+
+if __name__ == "__main__":  # python -m ...utils.tb_events run.jsonl <logdir>
+    import sys
+
+    print(jsonl_to_tb(sys.argv[1], sys.argv[2]))
