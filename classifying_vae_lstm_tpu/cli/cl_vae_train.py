@@ -139,7 +139,7 @@ def build_parser():
     parser.add_argument("--check_numerics", action="store_true",
                         help="fail fast on NaN/Inf in the first batch's loss/grads (extension)")
     parser.add_argument("--data_init", action="store_true",
-                        help="real weight-norm data-dependent init (reference's was a no-op)")
+                        help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
     parser.add_argument("--vanilla", action="store_true",
                         help="vanilla VAE: drop the key latent (extension; BASELINE config 2)")
     return parser

@@ -136,7 +136,7 @@ def build_parser():
     parser.add_argument("--lstm_backend", type=str, default="xla", choices=["xla", "pallas"],
                         help="LSTM sequence backend (extension)")
     parser.add_argument("--data_init", action="store_true",
-                        help="real weight-norm data-dependent init (reference's was a no-op)")
+                        help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
     return parser
 
 

@@ -33,14 +33,23 @@ def enable_compile_cache():
         pass  # backend already initialized with other settings
 
 
-def prune_and_flatten_cl_vae(P: PianoData, seq_length: int) -> int:
+def active_pitch_mask(P: PianoData) -> np.ndarray:
+    """Boolean [88] mask of pitch columns played anywhere in ALL splits'
+    x and y (reference ``cl_vae/train.py:22-24``)."""
+    X = np.vstack([P.x_train, P.x_valid, P.x_test, P.y_train, P.y_valid, P.y_test])
+    return X.sum(axis=0).sum(axis=0) > 0
+
+
+def prune_and_flatten_cl_vae(P: PianoData, seq_length: int, ix: np.ndarray | None = None) -> int:
     """cl_vae seq-concat mode: drop never-played pitch columns, flatten windows.
 
-    Reference ``cl_vae/train.py:21-30``: active columns are computed over ALL
-    splits' x and y stacked; returns the new original_dim.
+    Reference ``cl_vae/train.py:21-30``; returns the new original_dim. Pass
+    ``ix`` to prune with a mask computed elsewhere — evaluation must reuse the
+    mask the TRAINING batching produced (batch-size truncation changes which
+    windows vote), or the flattened width can disagree with the checkpoint.
     """
-    X = np.vstack([P.x_train, P.x_valid, P.x_test, P.y_train, P.y_valid, P.y_test])
-    ix = X.sum(axis=0).sum(axis=0) > 0
+    if ix is None:
+        ix = active_pitch_mask(P)
     for attr in ("x_train", "x_valid", "x_test", "y_train", "y_valid", "y_test"):
         a = getattr(P, attr)
         setattr(P, attr, np.ascontiguousarray(a[:, :, ix].reshape((len(a), -1))))

@@ -30,6 +30,11 @@ def evaluate(args):
     params, cfg, margs = common.load_model(args.model_file, args.family)
     if args.family == "cl_vrnn":
         cfg = common.resolve_lstm_backend(cfg, args.lstm_backend)
+        if args.dp > 1 and cfg.lstm_backend == "pallas":
+            # a pallas_call has no GSPMD partitioning rule; the sharded
+            # estimator must run the XLA scan
+            print("note: --dp forces lstm_backend=xla (pallas is not partitionable)")
+            cfg = common.resolve_lstm_backend(cfg, "xla")
     # batch_size=1 here: PianoData truncates every split to a multiple of its
     # batch_size (utils/pianoroll.py:154-158); the estimator pads the final
     # batch itself, so the headline NLL covers 100% of test windows
@@ -38,7 +43,21 @@ def evaluate(args):
                       return_y_next=margs.get("predict_next", False) or margs.get("use_x_prev", False),
                       squeeze_x=True, squeeze_y=True)
         if margs["seq_length"] > 1:
-            common.prune_and_flatten_cl_vae(P, margs["seq_length"])
+            # the pruning mask must match the one TRAINING computed: rebuild
+            # the training-time batching (batch-size truncation changes which
+            # windows vote for 'active') and reuse its mask here
+            P_mask = PianoData(args.train_file, batch_size=margs.get("batch_size", 100),
+                               seq_length=margs["seq_length"],
+                               return_y_next=margs.get("predict_next", False)
+                               or margs.get("use_x_prev", False),
+                               squeeze_x=True, squeeze_y=True)
+            dim = common.prune_and_flatten_cl_vae(
+                P, margs["seq_length"], common.active_pitch_mask(P_mask))
+            if dim != margs["original_dim"]:
+                raise ValueError(
+                    f"pruned width {dim} != checkpoint original_dim "
+                    f"{margs['original_dim']} — was the model trained on a "
+                    f"different --train_file?")
         if margs["n_classes"] == 1:  # vanilla VAE: key labels collapse to 0
             for split in ("train", "valid", "test"):
                 setattr(P, f"{split}_song_keys", np.zeros_like(getattr(P, f"{split}_song_keys")))

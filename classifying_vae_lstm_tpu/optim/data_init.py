@@ -64,7 +64,12 @@ def data_based_init(params: dict, preactivations: dict) -> dict:
 
 
 def _pre(layer, x):
-    return x @ layer["kernel"] + layer["bias"]
+    # precision='highest' like nn.core.dense: the default TPU matmul runs
+    # bf16 and would degrade the moments the init normalizes against
+    return (
+        jnp.dot(x, layer["kernel"], preferred_element_type=jnp.float32, precision="highest")
+        + layer["bias"]
+    )
 
 
 def data_based_init_cl_vae(params: dict, cfg, batch: dict, key) -> dict:

@@ -132,6 +132,22 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
         shift += 7
 
 
+def _skip_field(buf: bytes, i: int, wire_type: int) -> int:
+    """Advance past an unknown field; raise on malformed/unsupported types
+    (wire types 3/4 — groups — would otherwise loop forever)."""
+    if wire_type == 0:
+        _, i = _read_varint(buf, i)
+        return i
+    if wire_type == 1:
+        return i + 8
+    if wire_type == 2:
+        ln, i = _read_varint(buf, i)
+        return i + ln
+    if wire_type == 5:
+        return i + 4
+    raise ValueError(f"malformed event record: wire type {wire_type}")
+
+
 def _parse_summary(buf: bytes) -> dict[str, float]:
     out = {}
     i = 0
@@ -153,29 +169,12 @@ def _parse_summary(buf: bytes) -> dict[str, float]:
                 elif fn == 2 and wt == 5:
                     sv = struct.unpack("<f", val[j : j + 4])[0]
                     j += 4
-                else:  # skip unknown
-                    if wt == 0:
-                        _, j = _read_varint(val, j)
-                    elif wt == 1:
-                        j += 8
-                    elif wt == 2:
-                        ln2, j = _read_varint(val, j)
-                        j += ln2
-                    elif wt == 5:
-                        j += 4
+                else:
+                    j = _skip_field(val, j, wt)
             if tag is not None and sv is not None:
                 out[tag] = sv
-        else:  # skip unknown field
-            wt = key & 7
-            if wt == 0:
-                _, i = _read_varint(buf, i)
-            elif wt == 1:
-                i += 8
-            elif wt == 2:
-                ln, i = _read_varint(buf, i)
-                i += ln
-            elif wt == 5:
-                i += 4
+        else:
+            i = _skip_field(buf, i, key & 7)
     return out
 
 
@@ -186,12 +185,18 @@ def read_scalar_events(path: str) -> list[tuple[int, dict[str, float]]]:
         data = f.read()
     i = 0
     while i < len(data):
+        if i + 12 > len(data):
+            raise ValueError("truncated event file: partial record header")
         (length,) = struct.unpack("<Q", data[i : i + 8])
         (hcrc,) = struct.unpack("<I", data[i + 8 : i + 12])
-        assert hcrc == _masked_crc(data[i : i + 8]), "header CRC mismatch"
+        if hcrc != _masked_crc(data[i : i + 8]):
+            raise ValueError("event file header CRC mismatch")
+        if i + 16 + length > len(data):
+            raise ValueError("truncated event file: partial record payload")
         payload = data[i + 12 : i + 12 + length]
         (pcrc,) = struct.unpack("<I", data[i + 12 + length : i + 16 + length])
-        assert pcrc == _masked_crc(payload), "payload CRC mismatch"
+        if pcrc != _masked_crc(payload):
+            raise ValueError("event file payload CRC mismatch")
         i += 16 + length
         # parse Event fields
         j = 0
@@ -208,15 +213,7 @@ def read_scalar_events(path: str) -> list[tuple[int, dict[str, float]]]:
                 scalars = _parse_summary(payload[j : j + ln])
                 j += ln
             else:
-                if wt == 0:
-                    _, j = _read_varint(payload, j)
-                elif wt == 1:
-                    j += 8
-                elif wt == 2:
-                    ln, j = _read_varint(payload, j)
-                    j += ln
-                elif wt == 5:
-                    j += 4
+                j = _skip_field(payload, j, wt)
         if scalars:
             out.append((step, scalars))
     return out

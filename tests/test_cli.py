@@ -289,3 +289,21 @@ def test_load_model_no_x_prev_override(jsb_cs_path, tmp_path):
     cl_vae_train.train(args)
     _, cfg, margs = common.load_model(str(tmp_path / "nx.npz"), "cl_vae", no_x_prev=True)
     assert not cfg.use_x_prev and not margs["use_x_prev"]
+
+
+@pytest.mark.slow
+def test_evaluate_seq_concat_uses_training_mask(jsb_cs_path, tmp_path):
+    """evaluate on a seq_length>1 cl_vae checkpoint: the pruning mask comes
+    from the training-time batching, so widths always match the checkpoint."""
+    args = cl_vae_train.build_parser().parse_args([
+        "sqe", "--num_epochs", "2", "--patience", "0", "--seq_length", "4",
+        "--intermediate_dim", "16", "--model_dir", str(tmp_path),
+        "--train_file", jsb_cs_path,
+    ])
+    cl_vae_train.train(args)
+    eargs = evaluate.build_parser().parse_args([
+        "-i", str(tmp_path / "sqe.npz"), "--family", "cl_vae",
+        "--n_samples", "2", "--batch_size", "500", "--train_file", jsb_cs_path,
+    ])
+    out = evaluate.evaluate(eargs)
+    assert np.isfinite(out["test_nll_nats_per_frame"])

@@ -78,3 +78,18 @@ def test_do_log_writes_tb_events(tmp_path, jsb_cs_path):
     assert files, "no TB event file written under --do_log"
     events = read_scalar_events(files[0])
     assert events and "loss" in events[0][1] and "val_loss" in events[0][1]
+
+
+def test_reader_rejects_truncated_and_corrupt(tmp_path):
+    w = ScalarEventWriter(str(tmp_path))
+    w.add_scalars(0, {"loss": 1.0})
+    w.close()
+    data = open(w.path, "rb").read()
+    trunc = tmp_path / "trunc.tfevents"
+    trunc.write_bytes(data[:-7])  # chop mid-record
+    with pytest.raises(ValueError):
+        read_scalar_events(str(trunc))
+    corrupt = tmp_path / "bad.tfevents"
+    corrupt.write_bytes(data[:20] + bytes([data[20] ^ 0xFF]) + data[21:])
+    with pytest.raises(ValueError):
+        read_scalar_events(str(corrupt))
