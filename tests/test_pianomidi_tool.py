@@ -122,3 +122,35 @@ def test_build_corpus_and_pianodata_dropin(tmp_path):
 
     Dc = transpose_corpus(D)
     assert set(Dc["train_key"]) <= {"C", "c"}
+
+
+def test_parse_smf_format1_multitrack():
+    """Format-1 file: notes merged across tracks, key sig from track 0."""
+    div = 480
+    t0 = _vlq(0) + bytes([0xFF, 0x59, 0x02, 2, 0])  # D major
+    t0 += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    t1 = _vlq(0) + bytes([0x90, 62, 90]) + _vlq(480) + bytes([0x80, 62, 64])
+    t1 += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    t2 = _vlq(240) + bytes([0x91, 66, 90]) + _vlq(480) + bytes([0x81, 66, 64])
+    t2 += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    data = b"MThd" + struct.pack(">IHHH", 6, 1, 3, div)
+    for t in (t0, t1, t2):
+        data += b"MTrk" + struct.pack(">I", len(t)) + t
+    division, notes, key_sig = parse_smf(data)
+    assert key_sig == (2, 0)
+    assert sorted(notes) == [(0, 480, 62), (240, 720, 66)]
+    assert key_from_midi(key_sig, notes) == "D"
+
+
+def test_parse_smf_ignores_percussion_and_other_events():
+    ev = [
+        (0, 0xC0, 5),            # program change (1 data byte)
+        (0, 0xB0, 7, 100),       # controller
+        (0, 0x99, 36, 100),      # ch10 percussion on: ignored
+        (0, 0x90, 60, 100),
+        (480, 0xE0, 0, 64),      # pitch bend
+        (0, 0x80, 60, 0),
+        (0, 0x89, 36, 0),        # percussion off: ignored
+    ]
+    division, notes, _ = parse_smf(_smf(ev))
+    assert notes == [(0, 480, 60)]
