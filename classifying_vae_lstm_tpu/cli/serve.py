@@ -82,7 +82,7 @@ def make_handler(engine: GenerationEngine, key_map: dict, is_jsb: bool):
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
-                self._send(200, engine.stats)
+                self._send(200, {**engine.stats, **engine.latency_stats()})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -92,10 +92,27 @@ def make_handler(engine: GenerationEngine, key_map: dict, is_jsb: bool):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError as e:
+                    self._send(400, {"error": f"invalid JSON body: {e}"})
+                    return
                 n = int(req.get("n", 1))
                 t = int(req.get("t", 64))
                 fmt = req.get("format", "roll")
+                if n < 1 or t < 1:
+                    self._send(400, {"error": "n and t must be >= 1"})
+                    return
+                max_n = engine.BATCH_BUCKETS[-1]
+                max_t = engine.STEP_BUCKETS[-1]
+                if n > max_n or t > max_t:
+                    self._send(400, {"error": f"n <= {max_n} and t <= {max_t} "
+                                              f"(largest warmed buckets)"})
+                    return
+                if fmt not in ("roll", "midi_base64"):
+                    self._send(400, {"error": f"unknown format {fmt!r}",
+                                     "known": ["roll", "midi_base64"]})
+                    return
                 key_idx = key_map.get(req["key"]) if "key" in req else None
                 if "key" in req and key_idx is None:
                     self._send(400, {"error": f"unknown key {req['key']!r}",

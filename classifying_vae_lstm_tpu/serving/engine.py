@@ -61,6 +61,7 @@ class GenerationEngine:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "songs": 0, "gen_seconds": 0.0, "compiles": 0}
         self._compiled: set = set()
+        self._latencies: list = []  # per-request seconds (bounded ring)
 
     def _next_key(self):
         with self._lock:
@@ -147,8 +148,22 @@ class GenerationEngine:
         self._mark_bucket(b, t)
         out = self._run(seeds, t, ws)
         out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
+        dt = time.perf_counter() - t0
         with self._lock:
             self.stats["requests"] += 1
             self.stats["songs"] += n
-            self.stats["gen_seconds"] += time.perf_counter() - t0
+            self.stats["gen_seconds"] += dt
+            self._latencies.append(dt)
+            if len(self._latencies) > 1024:  # bounded window
+                self._latencies = self._latencies[-1024:]
         return out
+
+    def latency_stats(self) -> dict:
+        """p50/p95/p99 request latency (ms) over the recent window."""
+        with self._lock:
+            lats = list(self._latencies)
+        if not lats:
+            return {"p50_ms": None, "p95_ms": None, "p99_ms": None}
+        q = np.percentile(np.asarray(lats) * 1e3, [50, 95, 99])
+        return {"p50_ms": round(float(q[0]), 2), "p95_ms": round(float(q[1]), 2),
+                "p99_ms": round(float(q[2]), 2)}

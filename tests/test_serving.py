@@ -189,3 +189,39 @@ def test_resolve_lstm_backend_policy():
     assert auto.lstm_backend == "xla"  # CPU test env: no TPU, stays xla
     small = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=88), "auto")
     assert small.lstm_backend == "xla" and not small.bf16_compute
+
+
+def test_stats_latency_percentiles_and_validation(tmp_path):
+    """/stats carries latency percentiles; /generate validates inputs."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from classifying_vae_lstm_tpu.cli.serve import make_handler
+
+    eng = _engine()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng, {"C": 0}, True))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(body, raw=False):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=body if raw else _json.dumps(body).encode())
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, _json.load(r)
+            except urllib.error.HTTPError as e:
+                return e.code, _json.load(e)
+
+        assert post({"n": 1, "t": 8})[0] == 200
+        assert post({"n": 0, "t": 8})[0] == 400
+        assert post({"n": 1, "t": 99999})[0] == 400
+        assert post({"n": 1, "t": 8, "format": "nope"})[0] == 400
+        assert post(b"{not json", raw=True)[0] == 400
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            stats = _json.load(r)
+        assert stats["requests"] == 1 and stats["p50_ms"] > 0
+    finally:
+        httpd.shutdown()
