@@ -26,6 +26,8 @@ from . import common
 
 
 def gen_samples(P, params, cfg, margs, args):
+    if args.seed_midi:
+        return gen_from_midi(P, params, cfg, margs, args)
     key_map = {v: k for k, v in P.key_map.items()}
     inds = np.arange(len(P.test_song_keys))
     if args.c is not None:  # user-specified seed key
@@ -59,6 +61,44 @@ def gen_samples(P, params, cfg, margs, args):
             write_sample_wav(np.asarray(samples[j]), args.sample_dir, f"{args.run_name}_{j}", is_jsb)
 
 
+def gen_from_midi(P, params, cfg, margs, args):
+    """Seed generation from a user-supplied .mid file (extension).
+
+    The file is parsed with the general SMF parser, quantized to eighth
+    notes, and the last ``-t`` frames become the teacher-forced seed; the key
+    latent is inferred from the seed unless ``-c`` names one.
+    """
+    from ..data.midi import midi_to_roll
+
+    roll = midi_to_roll(args.seed_midi)
+    if len(roll) == 0:
+        raise ValueError(f"{args.seed_midi} contains no notes")
+    t = args.t
+    seed = np.zeros((t, cfg.original_dim), np.float32)
+    take = min(t, len(roll))
+    seed[-take:] = roll[-take:, : cfg.original_dim]
+    key = jax.random.PRNGKey(args.seed)
+    seeds = jnp.asarray(np.repeat(seed[None], args.n, axis=0))
+    if args.c is not None:
+        idx = P.key_map.get(args.c)
+        if idx is None:
+            raise ValueError(f"unknown key {args.c!r}; known: {sorted(P.key_map)}")
+        ws = jnp.broadcast_to(
+            jax.nn.one_hot(idx, margs["n_classes"]), (args.n, margs["n_classes"]))
+    else:
+        key, kw = jax.random.split(key)
+        w = infer_w_cl_vrnn(params, cfg, seeds[0], kw, w_discrete=args.discrete_w)
+        ws = jnp.broadcast_to(w, (args.n, margs["n_classes"]))
+    key, kg = jax.random.split(key)
+    samples = generate_cl_vrnn_batch(params, cfg, seeds, t, kg, ws)
+    is_jsb = "jsb" in args.train_file.lower()
+    os.makedirs(args.sample_dir, exist_ok=True)
+    for j in range(args.n):
+        write_sample(np.asarray(samples[j]), args.sample_dir, f"{args.run_name}_{j}", is_jsb)
+        if args.write_wav:
+            write_sample_wav(np.asarray(samples[j]), args.sample_dir, f"{args.run_name}_{j}", is_jsb)
+
+
 def sample(args):
     model_file = args.model_file or os.path.join(args.model_dir, args.run_name + ".npz")
     params, cfg, margs = common.load_model(model_file, "cl_vrnn")
@@ -87,6 +127,9 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
     parser.add_argument("--write_wav", action="store_true",
                         help="also render samples to .wav (extension; BASELINE config 5)")
+    parser.add_argument("--seed_midi", type=str, default=None,
+                        help="seed generation from this .mid file instead of a test "
+                             "window (extension; any SMF, quantized to eighth notes)")
     return parser
 
 

@@ -188,3 +188,112 @@ def read_midi_roll(path, time_step: int = 120, offset: int = 21, note_range: int
             state[pitch - offset] = on
         roll[f] = state
     return roll
+
+
+def parse_smf(data: bytes):
+    """General SMF parser: returns (division, notes, key_sig).
+
+    ``notes`` is a list of (start_tick, end_tick, pitch) merged across all
+    tracks (percussion channel 10 skipped); ``key_sig`` is the first key
+    signature meta event as (sf, mi) or None. Handles running status, meta
+    and sysex events, and all channel voice messages — the general MIDI
+    *input* path the reference delegated to the py2 ``midi`` package.
+    """
+    if data[:4] != b"MThd":
+        raise ValueError("not a MIDI file (missing MThd)")
+    (hlen,) = struct.unpack(">I", data[4:8])
+    _fmt, ntracks, division = struct.unpack(">HHH", data[8:14])
+    if division & 0x8000:
+        raise ValueError("SMPTE time division not supported")
+    pos = 8 + hlen
+    notes = []
+    key_sig = None
+    for _ in range(ntracks):
+        if data[pos : pos + 4] != b"MTrk":
+            raise ValueError("bad track chunk")
+        (length,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        i, end = pos + 8, pos + 8 + length
+        tick = 0
+        status = 0
+        active: dict = {}  # (channel, pitch) -> start tick
+        while i < end:
+            delta, i = _read_vlq(data, i)
+            tick += delta
+            b = data[i]
+            if b & 0x80:
+                status = b
+                i += 1
+            # else running status: reuse the previous status byte
+            if status == 0xFF:  # meta
+                mtype = data[i]
+                mlen, i = _read_vlq(data, i + 1)
+                if mtype == 0x59 and key_sig is None and mlen >= 2:
+                    sf = struct.unpack("b", data[i : i + 1])[0]
+                    key_sig = (sf, data[i + 1])
+                i += mlen
+                if mtype == 0x2F:
+                    break
+            elif status in (0xF0, 0xF7):  # sysex
+                slen, i = _read_vlq(data, i)
+                i += slen
+            else:
+                kind = status & 0xF0
+                ch = status & 0x0F
+                if kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
+                    d1, d2 = data[i], data[i + 1]
+                    i += 2
+                    if ch != 9:  # skip percussion
+                        if kind == 0x90 and d2 > 0:
+                            active.setdefault((ch, d1), tick)
+                        elif kind == 0x80 or (kind == 0x90 and d2 == 0):
+                            start = active.pop((ch, d1), None)
+                            if start is not None and tick > start:
+                                notes.append((start, tick, d1))
+                elif kind in (0xC0, 0xD0):
+                    i += 1
+                else:
+                    raise ValueError(f"unexpected status {status:#x}")
+        for (ch, pitch), start in active.items():  # close hanging notes
+            if tick > start:
+                notes.append((start, tick, pitch))
+        pos = end
+    return division, notes, key_sig
+
+
+def quantize_notes(division: int, notes, frames_per_beat: int = 2):
+    """Sample note intervals onto a frame grid (eighth notes by default — the
+    pickled-corpus convention); returns a list of per-frame pitch lists."""
+    if not notes:
+        return []
+    fl = division / frames_per_beat
+    n_frames = int(np.ceil(max(e for _, e, _ in notes) / fl))
+    frames = [set() for _ in range(n_frames)]
+    for start, endt, pitch in notes:
+        f0 = int(np.ceil(start / fl - 1e-9))
+        f1 = max(f0 + 1, int(np.ceil(endt / fl - 1e-9)))
+        for f in range(f0, min(f1, n_frames)):
+            frames[f].add(pitch)
+    return [sorted(f) for f in frames]
+
+
+def midi_to_roll(path: str, frames_per_beat: int = 2, offset: int = 21,
+                 note_range: int = 88) -> np.ndarray:
+    """Parse ANY .mid file into a binary [T, 88] piano roll.
+
+    The general MIDI-input path (seeding generation from user MIDI, corpus
+    building); out-of-range pitches are octave-shifted into range like the
+    reference's ``song_to_pianoroll`` (utils/pianoroll.py:31-47).
+    """
+    with open(path, "rb") as f:
+        division, notes, _ = parse_smf(f.read())
+    song = quantize_notes(division, notes, frames_per_beat)
+    roll = np.zeros((len(song), note_range), dtype=np.float32)
+    for t, frame in enumerate(song):
+        for p in frame:
+            q = p - offset
+            while q < 0:
+                q += 12
+            while q >= note_range:
+                q -= 12
+            roll[t, q] = 1.0
+    return roll

@@ -307,3 +307,35 @@ def test_evaluate_seq_concat_uses_training_mask(jsb_cs_path, tmp_path):
     ])
     out = evaluate.evaluate(eargs)
     assert np.isfinite(out["test_nll_nats_per_frame"])
+
+
+@pytest.mark.slow
+def test_cl_vrnn_sample_seed_midi(jsb_cs_path, tmp_path):
+    """--seed_midi: generation seeded from an arbitrary user .mid (extension)."""
+    args = cl_vrnn_train.build_parser().parse_args([
+        "sm", "--num_epochs", "2", "--patience", "0", "--seq_length", "8",
+        "--intermediate_dim", "8", "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    cl_vrnn_train.train(args)
+    # write a seed MIDI with the repo's own writer
+    from classifying_vae_lstm_tpu.data.midi import write_sample as ws
+
+    roll = np.zeros((12, 88), np.float32)
+    roll[:, [39, 43, 46]] = 1.0  # C major triad
+    ws(roll, str(tmp_path), "seedfile", False)
+    sargs = cl_vrnn_sample.build_parser().parse_args([
+        "sm", "-i", str(tmp_path / "sm.npz"), "-n", "2", "-t", "16",
+        "--seed_midi", str(tmp_path / "seedfile.mid"),
+        "--sample_dir", str(tmp_path / "out"), "--train_file", jsb_cs_path,
+    ])
+    cl_vrnn_sample.sample(sargs)
+    assert os.path.exists(tmp_path / "out" / "sm_0.mid")
+    assert os.path.exists(tmp_path / "out" / "sm_1.mid")
+    # key-conditioned variant
+    sargs2 = cl_vrnn_sample.build_parser().parse_args([
+        "smc", "-i", str(tmp_path / "sm.npz"), "-n", "1", "-t", "16", "-c", "C",
+        "--seed_midi", str(tmp_path / "seedfile.mid"),
+        "--sample_dir", str(tmp_path / "out"), "--train_file", jsb_cs_path,
+    ])
+    cl_vrnn_sample.sample(sargs2)
+    assert os.path.exists(tmp_path / "out" / "smc_0.mid")

@@ -39,12 +39,17 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
-import struct
 import sys
 
 import numpy as np
 
-# --- SMF parsing -----------------------------------------------------------
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --- SMF parsing: the general parser lives in the package ---------------------
+
+from classifying_vae_lstm_tpu.data.midi import parse_smf, quantize_notes  # noqa: E402
+
+quantize_to_song = quantize_notes  # corpus-schema alias
 
 _MAJOR_BY_SF = {0: "C", 1: "G", 2: "D", 3: "A", 4: "E", 5: "B", 6: "F#", 7: "C#",
                 -1: "F", -2: "B-", -3: "E-", -4: "A-", -5: "D-", -6: "G-", -7: "C-"}
@@ -61,98 +66,6 @@ def key_pitch_class(key: str) -> int:
     elif key.endswith("-"):
         pc -= 1
     return pc % 12
-
-
-def _read_vlq(data: bytes, i: int):
-    n = 0
-    while True:
-        b = data[i]
-        i += 1
-        n = (n << 7) | (b & 0x7F)
-        if not b & 0x80:
-            return n, i
-
-
-def parse_smf(data: bytes):
-    """Parse an SMF; returns (division, notes, key_sig) where notes is a list
-    of (start_tick, end_tick, pitch) and key_sig is (sf, mi) or None."""
-    if data[:4] != b"MThd":
-        raise ValueError("not a MIDI file (missing MThd)")
-    (hlen,) = struct.unpack(">I", data[4:8])
-    _fmt, ntracks, division = struct.unpack(">HHH", data[8:14])
-    if division & 0x8000:
-        raise ValueError("SMPTE time division not supported")
-    pos = 8 + hlen
-    notes = []
-    key_sig = None
-    for _ in range(ntracks):
-        if data[pos : pos + 4] != b"MTrk":
-            raise ValueError("bad track chunk")
-        (length,) = struct.unpack(">I", data[pos + 4 : pos + 8])
-        i, end = pos + 8, pos + 8 + length
-        tick = 0
-        status = 0
-        active: dict[tuple[int, int], int] = {}  # (channel, pitch) -> start
-        while i < end:
-            delta, i = _read_vlq(data, i)
-            tick += delta
-            b = data[i]
-            if b & 0x80:
-                status = b
-                i += 1
-            # else: running status — reuse previous status byte
-            if status == 0xFF:  # meta
-                mtype = data[i]
-                mlen, i = _read_vlq(data, i + 1)
-                if mtype == 0x59 and key_sig is None and mlen >= 2:
-                    sf = struct.unpack("b", data[i : i + 1])[0]
-                    key_sig = (sf, data[i + 1])
-                i += mlen
-                if mtype == 0x2F:
-                    break
-            elif status in (0xF0, 0xF7):  # sysex
-                slen, i = _read_vlq(data, i)
-                i += slen
-            else:
-                kind = status & 0xF0
-                ch = status & 0x0F
-                if kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
-                    d1, d2 = data[i], data[i + 1]
-                    i += 2
-                    if ch != 9:  # skip percussion
-                        if kind == 0x90 and d2 > 0:
-                            active.setdefault((ch, d1), tick)
-                        elif kind == 0x80 or (kind == 0x90 and d2 == 0):
-                            start = active.pop((ch, d1), None)
-                            if start is not None and tick > start:
-                                notes.append((start, tick, d1))
-                elif kind in (0xC0, 0xD0):
-                    i += 1
-                else:
-                    raise ValueError(f"unexpected status {status:#x}")
-        # close any hanging notes at track end
-        for (ch, pitch), start in active.items():
-            if tick > start:
-                notes.append((start, tick, pitch))
-        pos = end
-    return division, notes, key_sig
-
-
-def quantize_to_song(division: int, notes, frames_per_beat: int = 2):
-    """Sample the roll at eighth notes: frame f active iff the note sounds at
-    tick f * (division / frames_per_beat). Returns the reference's song form
-    (list of frames, each a sorted list of MIDI note numbers)."""
-    if not notes:
-        return []
-    fl = division / frames_per_beat
-    n_frames = int(np.ceil(max(e for _, e, _ in notes) / fl))
-    frames = [set() for _ in range(n_frames)]
-    for start, endt, pitch in notes:
-        f0 = int(np.ceil(start / fl - 1e-9))
-        f1 = max(f0 + 1, int(np.ceil(endt / fl - 1e-9)))
-        for f in range(f0, min(f1, n_frames)):
-            frames[f].add(pitch)
-    return [sorted(f) for f in frames]
 
 
 # --- key estimation ---------------------------------------------------------
