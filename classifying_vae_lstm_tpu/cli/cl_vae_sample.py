@@ -23,12 +23,23 @@ def make_sample(P, params, cfg, margs, args, key, run_name):
     """Seed from a random test window; w = true key one-hot or inferred
     (reference ``cl_vae/sample.py:8-15``)."""
     k_seed, k_gen = jax.random.split(key)
-    seed_ind = int(jax.random.randint(k_seed, (), 0, len(P.x_test)))
-    x_seed = P.x_test[seed_ind][0]
-    w_val = None
-    if not args.infer_w:
-        seed_key_ind = P.test_song_keys[seed_ind]
-        w_val = jnp.asarray(to_categorical([seed_key_ind], margs["n_classes"])[0])
+    if args.seed_midi:
+        # extension: seed from the last frame of a user .mid (true key is
+        # unknown, so w is inferred from the seed frame)
+        from ..data.midi import midi_to_roll
+
+        roll = midi_to_roll(args.seed_midi)
+        if len(roll) == 0:
+            raise ValueError(f"{args.seed_midi} contains no notes")
+        x_seed = roll[-1][: margs["original_dim"]]
+        w_val = None
+    else:
+        seed_ind = int(jax.random.randint(k_seed, (), 0, len(P.x_test)))
+        x_seed = P.x_test[seed_ind][0]
+        w_val = None
+        if not args.infer_w:
+            seed_key_ind = P.test_song_keys[seed_ind]
+            w_val = jnp.asarray(to_categorical([seed_key_ind], margs["n_classes"])[0])
     sample = generate_cl_vae(
         params, cfg, jnp.asarray(x_seed), args.t, k_gen, w_val=w_val, use_z_prior=args.use_z_prior
     )
@@ -70,6 +81,9 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed (extension)")
     parser.add_argument("--write_wav", action="store_true",
                         help="also render samples to .wav (extension; BASELINE config 5)")
+    parser.add_argument("--seed_midi", type=str, default=None,
+                        help="seed generation from the last frame of this .mid file "
+                             "(extension; any SMF)")
     return parser
 
 

@@ -118,8 +118,22 @@ def make_handler(engine: GenerationEngine, key_map: dict, is_jsb: bool):
                     self._send(400, {"error": f"unknown key {req['key']!r}",
                                      "known": sorted(key_map)})
                     return
+                seed_rolls = None
+                if "seed_midi_base64" in req:
+                    from ..data.midi import roll_from_smf_bytes
+
+                    try:
+                        seed_rolls = roll_from_smf_bytes(
+                            base64.b64decode(req["seed_midi_base64"]))
+                    except Exception as e:  # noqa: BLE001 — malformed client bytes
+                        self._send(400, {"error": f"bad seed MIDI: {e}"})
+                        return
+                    if len(seed_rolls) == 0:
+                        self._send(400, {"error": "seed MIDI contains no notes"})
+                        return
                 rolls = engine.generate(n=n, nsteps=t, key_name_index=key_idx,
-                                        infer_w=bool(req.get("infer_w", True)))
+                                        infer_w=bool(req.get("infer_w", True)),
+                                        seed_rolls=seed_rolls)
                 if fmt == "midi_base64":
                     out = {"midi_base64": [_midi_b64(r, is_jsb) for r in rolls]}
                 else:

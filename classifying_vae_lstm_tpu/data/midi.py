@@ -276,16 +276,12 @@ def quantize_notes(division: int, notes, frames_per_beat: int = 2):
     return [sorted(f) for f in frames]
 
 
-def midi_to_roll(path: str, frames_per_beat: int = 2, offset: int = 21,
-                 note_range: int = 88) -> np.ndarray:
-    """Parse ANY .mid file into a binary [T, 88] piano roll.
-
-    The general MIDI-input path (seeding generation from user MIDI, corpus
-    building); out-of-range pitches are octave-shifted into range like the
-    reference's ``song_to_pianoroll`` (utils/pianoroll.py:31-47).
-    """
-    with open(path, "rb") as f:
-        division, notes, _ = parse_smf(f.read())
+def roll_from_smf_bytes(data: bytes, frames_per_beat: int = 2, offset: int = 21,
+                        note_range: int = 88) -> np.ndarray:
+    """SMF bytes -> binary [T, 88] piano roll; out-of-range pitches are
+    octave-shifted into range like the reference's ``song_to_pianoroll``
+    (utils/pianoroll.py:31-47)."""
+    division, notes, _ = parse_smf(data)
     song = quantize_notes(division, notes, frames_per_beat)
     roll = np.zeros((len(song), note_range), dtype=np.float32)
     for t, frame in enumerate(song):
@@ -297,3 +293,11 @@ def midi_to_roll(path: str, frames_per_beat: int = 2, offset: int = 21,
                 q -= 12
             roll[t, q] = 1.0
     return roll
+
+
+def midi_to_roll(path: str, frames_per_beat: int = 2, offset: int = 21,
+                 note_range: int = 88) -> np.ndarray:
+    """Parse ANY .mid file into a binary [T, 88] piano roll (the general
+    MIDI-input path: seeding generation from user MIDI, corpus building)."""
+    with open(path, "rb") as f:
+        return roll_from_smf_bytes(f.read(), frames_per_beat, offset, note_range)

@@ -110,18 +110,38 @@ class GenerationEngine:
                                          w_vals=ws)
         return generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
 
+    def _coerce_seed_rolls(self, rolls: np.ndarray) -> np.ndarray:
+        """Fit user rolls to the seed-bank shape (front-pad/trim the time
+        axis for cl_vrnn; take the last frame for cl_vae)."""
+        rolls = np.asarray(rolls, dtype=np.float32)
+        if rolls.ndim == 2:  # single roll [T, D]
+            rolls = rolls[None]
+        if self.family == "cl_vae":
+            return rolls[:, -1] if rolls.ndim == 3 else rolls
+        t_seed = self.seed_bank.shape[1]
+        out = np.zeros((len(rolls), t_seed, self.seed_bank.shape[2]), np.float32)
+        for i, r in enumerate(rolls):
+            take = min(t_seed, len(r))
+            out[i, -take:] = r[-take:, : out.shape[2]]
+        return out
+
     def generate(self, n: int = 1, nsteps: int = 64, key_name_index: int | None = None,
-                 infer_w: bool = True, seed_indices=None) -> np.ndarray:
+                 infer_w: bool = True, seed_indices=None, seed_rolls=None) -> np.ndarray:
         """Generate n songs of nsteps frames; returns [n, nsteps, 88].
 
         Requests are padded up to bucket sizes; the extra songs/steps are
-        sliced off before returning.
+        sliced off before returning. ``seed_rolls`` ([T, D] or [k, T, D])
+        seeds from user piano-rolls (e.g. parsed MIDI) instead of the bank.
         """
         t0 = time.perf_counter()
         b = _bucket(n, self.BATCH_BUCKETS)
         t = _bucket(nsteps, self.STEP_BUCKETS)
 
-        if seed_indices is None:
+        user_seeds = None
+        if seed_rolls is not None:
+            user_seeds = self._coerce_seed_rolls(seed_rolls)
+            seed_indices = np.zeros(b, dtype=np.int64)  # placeholder keys
+        elif seed_indices is None:
             rng = np.random.default_rng(int(self._next_key()[0]))
             pool = np.arange(len(self.seed_bank))
             if key_name_index is not None and self.seed_keys is not None:
@@ -132,8 +152,16 @@ class GenerationEngine:
         else:
             seed_indices = np.resize(np.asarray(seed_indices), b)
 
-        seeds = jnp.asarray(self.seed_bank[seed_indices])
-        if infer_w:
+        if user_seeds is not None:
+            seeds = jnp.asarray(np.resize(user_seeds, (b,) + user_seeds.shape[1:]))
+        else:
+            seeds = jnp.asarray(self.seed_bank[seed_indices])
+        if user_seeds is not None and key_name_index is not None:
+            # user seed + requested key: condition on the named key directly
+            ws = jnp.broadcast_to(
+                jax.nn.one_hot(key_name_index, self.cfg.n_classes),
+                (b, self.cfg.n_classes))
+        elif infer_w or user_seeds is not None:
             if self.family == "cl_vae":
                 # cl_vae infers w per seed frame inside generate (w_val=None)
                 ws = None

@@ -143,6 +143,15 @@ def test_cl_vae_end_to_end(jsb_cs_path, tmp_path):
     cl_vae_sample.sample(sargs)
     assert os.path.exists(tmp_path / "e2e_0.mid")
 
+    # --seed_midi: seed the next sample from the one we just wrote (extension)
+    sargs_md = cl_vae_sample.build_parser().parse_args([
+        "e2emd", "-i", str(tmp_path / "e2e.npz"), "-n", "1", "-t", "8",
+        "--seed_midi", str(tmp_path / "e2e_0.mid"),
+        "--sample_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    cl_vae_sample.sample(sargs_md)
+    assert os.path.exists(tmp_path / "e2emd_0.mid")
+
     eargs = evaluate.build_parser().parse_args([
         "-i", str(tmp_path / "e2e.npz"), "--family", "cl_vae",
         "--n_samples", "4", "--batch_size", "500", "--train_file", jsb_cs_path,

@@ -225,3 +225,56 @@ def test_stats_latency_percentiles_and_validation(tmp_path):
         assert stats["requests"] == 1 and stats["p50_ms"] > 0
     finally:
         httpd.shutdown()
+
+
+def test_generate_from_user_seed_rolls():
+    """seed_rolls: user piano-rolls replace the bank (front-pad/trim to the
+    bank's seed length); key conditioning works on top."""
+    eng = _engine(seed_len=8)
+    roll = np.zeros((5, 16), np.float32)  # shorter than seed_len: front-padded
+    roll[:, 3] = 1.0
+    out = eng.generate(n=2, nsteps=16, seed_rolls=roll)
+    assert out.shape == (2, 16, 16)
+    out = eng.generate(n=1, nsteps=16, seed_rolls=roll, key_name_index=1)
+    assert out.shape == (1, 16, 16)
+    # longer than seed_len: trimmed to the last frames
+    long_roll = np.zeros((20, 16), np.float32)
+    out = eng.generate(n=1, nsteps=16, seed_rolls=long_roll)
+    assert out.shape == (1, 16, 16)
+
+
+def test_http_seed_midi_base64(tmp_path):
+    import base64 as _b64
+    import json as _json
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from classifying_vae_lstm_tpu.cli.serve import make_handler
+    from classifying_vae_lstm_tpu.data.midi import write_sample
+
+    eng = _engine()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng, {"C": 0}, True))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        roll = np.zeros((6, 88), np.float32)
+        roll[:, [39, 43]] = 1.0
+        write_sample(roll, str(tmp_path), "websd", False)
+        midi_b64 = _b64.b64encode((tmp_path / "websd.mid").read_bytes()).decode()
+
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=_json.dumps(body).encode())
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, _json.load(r)
+            except urllib.error.HTTPError as e:
+                return e.code, _json.load(e)
+
+        code, out = post({"n": 1, "t": 8, "seed_midi_base64": midi_b64})
+        assert code == 200 and len(out["rolls"]) == 1
+        code, out = post({"n": 1, "t": 8, "seed_midi_base64": "bm90IG1pZGk="})
+        assert code == 400 and "seed MIDI" in out["error"]
+    finally:
+        httpd.shutdown()
