@@ -348,3 +348,19 @@ def test_cl_vrnn_sample_seed_midi(jsb_cs_path, tmp_path):
     ])
     cl_vrnn_sample.sample(sargs2)
     assert os.path.exists(tmp_path / "out" / "smc_0.mid")
+
+
+@pytest.mark.slow
+def test_evaluate_dp_cli(jsb_cs_path, tmp_path):
+    """evaluate --dp 4 on the virtual CPU mesh matches the single-device run."""
+    args = cl_vae_train.build_parser().parse_args([
+        "dpe", "--num_epochs", "2", "--patience", "0",
+        "--model_dir", str(tmp_path), "--train_file", jsb_cs_path,
+    ])
+    cl_vae_train.train(args)
+    base = ["-i", str(tmp_path / "dpe.npz"), "--family", "cl_vae",
+            "--n_samples", "4", "--batch_size", "500", "--train_file", jsb_cs_path]
+    out1 = evaluate.evaluate(evaluate.build_parser().parse_args(base))
+    out4 = evaluate.evaluate(evaluate.build_parser().parse_args(base + ["--dp", "4"]))
+    assert out4["n_test_examples"] == out1["n_test_examples"]
+    assert abs(out4["test_nll_nats_per_frame"] - out1["test_nll_nats_per_frame"]) < 1e-3
