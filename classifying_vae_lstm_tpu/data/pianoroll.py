@@ -28,6 +28,7 @@ corpora is dispatched to it; results are bit-identical to the NumPy path.
 
 from __future__ import annotations
 
+import os
 import pickle
 
 import numpy as np
@@ -149,8 +150,16 @@ class PianoData:
         squeeze_y=True,
         use_rel_major=True,
     ):
-        with open(train_file, "rb") as f:
-            D = pickle.load(f, encoding="latin1")
+        if os.path.isdir(train_file):
+            # extension: a directory of raw .mid files becomes a corpus in
+            # memory (same schema as the pickles) — the framework trains
+            # directly on MIDI, no pickle step (data/corpus.py)
+            from .corpus import corpus_from_midi_dir
+
+            D = corpus_from_midi_dir(train_file)
+        else:
+            with open(train_file, "rb") as f:
+                D = pickle.load(f, encoding="latin1")
         self.train_file = train_file
         self.batch_size = batch_size  # truncates so nsamples % batch_size == 0
         self.seq_length = seq_length

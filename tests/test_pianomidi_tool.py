@@ -3,6 +3,8 @@ drop-in compatibility of the emitted pickle with PianoData (BASELINE configs
 3/5 readiness; the public corpus itself is unreachable offline)."""
 
 import pickle
+
+import pytest
 import struct
 import sys
 
@@ -154,3 +156,54 @@ def test_parse_smf_ignores_percussion_and_other_events():
     ]
     division, notes, _ = parse_smf(_smf(ev))
     assert notes == [(0, 480, 60)]
+
+
+def _write_test_corpus(tmp_path, n=8, quarters=30):
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        sf = [0, -3, 1][i % 3]
+        mi = 1 if i % 3 == 1 else 0
+        events = []
+        for j in range(quarters):
+            p = 55 + (i % 4) + int(rng.integers(0, 12))
+            events.append((0 if j == 0 else 480, 0x90, p, 90))
+            events.append((480, 0x80, p, 64))
+        (tmp_path / f"p{i}.mid").write_bytes(_smf(events, key_sig=(sf, mi)))
+
+
+def test_pianodata_loads_midi_directory(tmp_path):
+    """--train_file can be a raw .mid directory: PianoData builds the corpus
+    in memory with the same schema as the pickles."""
+    _write_test_corpus(tmp_path)
+    from classifying_vae_lstm_tpu.data import PianoData
+
+    P = PianoData(str(tmp_path), batch_size=2, seq_length=4, return_y_next=False,
+                  return_y_hist=True, squeeze_x=False, squeeze_y=False)
+    assert P.x_train.shape[1:] == (4, 88) and P.x_train.shape[0] > 0
+    assert hasattr(P, "key_map") and len(P.key_map) >= 1
+    assert P.train_song_keys.shape[0] == P.x_train.shape[0]
+
+
+@pytest.mark.slow
+def test_train_directly_on_midi_directory(tmp_path):
+    """Full train -> sample on a raw MIDI directory, zero pickle steps."""
+    from classifying_vae_lstm_tpu.cli import cl_vrnn_sample, cl_vrnn_train
+
+    midi_dir = tmp_path / "midis"
+    midi_dir.mkdir()
+    _write_test_corpus(midi_dir, n=10, quarters=40)
+    args = cl_vrnn_train.build_parser().parse_args([
+        "md", "--num_epochs", "2", "--patience", "0", "--seq_length", "4",
+        "--batch_size", "8", "--intermediate_dim", "8",
+        "--model_dir", str(tmp_path), "--train_file", str(midi_dir),
+    ])
+    _, best = cl_vrnn_train.train(args)
+    assert np.isfinite(best["val_loss"])
+    sargs = cl_vrnn_sample.build_parser().parse_args([
+        "md", "-i", str(tmp_path / "md.npz"), "-n", "1", "-t", "4", "--infer_w",
+        "--sample_dir", str(tmp_path / "out"), "--train_file", str(midi_dir),
+    ])
+    cl_vrnn_sample.sample(sargs)
+    import os as _os
+
+    assert any(f.startswith("md_") for f in _os.listdir(tmp_path / "out"))
