@@ -8,11 +8,16 @@ from .pianoroll import (
     song_to_pianoroll,
     songs_to_pianoroll,
 )
-from .midi import MidiWriter, write_sample
+from .corpus import corpus_from_midi_dir, transpose_corpus
+from .midi import MidiWriter, midi_to_roll, parse_smf, write_sample
 from .wav import render_roll, write_sample_wav
 
 __all__ = [
     "PianoData",
+    "corpus_from_midi_dir",
+    "midi_to_roll",
+    "parse_smf",
+    "transpose_corpus",
     "MidiWriter",
     "pianoroll_to_song",
     "rel_keys",
