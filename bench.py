@@ -149,7 +149,9 @@ def bench_mfu(batch=1024, hid=1024):
     The parity config (88-wide) is overhead-bound (~12 MFLOP/step, DESIGN.md);
     this config demonstrates the framework sustains the MXU when given
     MXU-sized shapes, reported as achieved FLOP/s and MFU vs the chip's bf16
-    peak (VERDICT round 1, weak #4)."""
+    peak (VERDICT round 1, weak #4). Uses the Pallas fwd+bwd LSTM kernels —
+    what `--lstm_backend auto` selects at this size; 1.9-2.3x the XLA scan
+    step (comparison recorded in artifacts/train_scale_bench.json)."""
     import jax
     import jax.numpy as jnp
 
@@ -160,7 +162,7 @@ def bench_mfu(batch=1024, hid=1024):
     T, D, L, K = SEQ, DIM, 2, 10
     cfg = cl_vrnn.Config(original_dim=D, intermediate_dim=hid, latent_dim=L,
                          seq_length=T, n_classes=K, use_x_prev=True,
-                         bf16_compute=True)
+                         bf16_compute=True, lstm_backend="pallas")
     params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
     opt, _ = init_optimizer("adam-wn")
     loss_fn = functools.partial(
@@ -192,7 +194,7 @@ def bench_mfu(batch=1024, hid=1024):
     kind = jax.devices()[0].device_kind
     peak = _peak_flops(kind)
     out = {
-        "config": f"cl_vrnn hidden {hid}, batch {batch}, seq {T}, bf16_compute",
+        "config": f"cl_vrnn hidden {hid}, batch {batch}, seq {T}, bf16_compute, pallas",
         "steps_per_sec": round(steps_per_sec, 2),
         "model_tflops_per_step": round(flops / 1e12, 4),
         "achieved_tflops_per_sec": round(achieved / 1e12, 2),

@@ -45,6 +45,14 @@ def train(args):
     optimizer, was_adam_wn = init_optimizer(args.optimizer)
     args.optimizer = "adam-wn" if was_adam_wn else args.optimizer
     cfg = common.cl_vrnn_config_from_args(vars(args))
+    if args.lstm_backend == "auto":
+        cfg = common.resolve_lstm_backend(cfg, "auto")
+        # args.json records the RESOLVED backend/dtype so the checkpoint
+        # reloads with the numerics it trained with
+        args.lstm_backend = cfg.lstm_backend
+        args.bf16_compute = cfg.bf16_compute
+        print(f"lstm_backend=auto -> {cfg.lstm_backend}"
+              + (" (bf16 operands)" if cfg.bf16_compute else ""))
     key = jax.random.PRNGKey(args.seed)
     key, k_init, k_fit = jax.random.split(key, 3)
     params = cl_vrnn.init(k_init, cfg)
@@ -133,8 +141,11 @@ def build_parser():
                         help="capture a jax.profiler trace of one epoch (extension)")
     parser.add_argument("--check_numerics", action="store_true",
                         help="fail fast on NaN/Inf in the first batch's loss/grads (extension)")
-    parser.add_argument("--lstm_backend", type=str, default="xla", choices=["xla", "pallas"],
-                        help="LSTM sequence backend (extension)")
+    parser.add_argument("--lstm_backend", type=str, default="xla",
+                        choices=["xla", "pallas", "auto"],
+                        help="LSTM sequence backend (extension); 'auto' picks the "
+                             "Pallas fwd+bwd kernels + bf16 operands at hidden>=512 "
+                             "on TPU (1.9-2.3x the XLA scan train step)")
     parser.add_argument("--data_init", action="store_true",
                         help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
     return parser

@@ -124,18 +124,21 @@ def cl_vrnn_config_from_args(margs: dict) -> cl_vrnn.Config:
         use_x_prev=margs.get("use_x_prev", False),
         w_log_var_prior=margs.get("w_log_var_prior", 0.0),
         lstm_backend=margs.get("lstm_backend", "xla"),
+        bf16_compute=margs.get("bf16_compute", False),
     )
 
 
 def resolve_lstm_backend(cfg, choice: str = "auto"):
-    """Pick the LSTM backend for forward-dominated paths (evaluate/serve).
+    """Pick the LSTM backend (evaluate/serve defaults; train opts in).
 
     'keep' leaves the checkpoint's setting (evaluate's default: the headline
     NLL numerics stay exactly what the checkpoint trained with). 'auto'
-    (serving's default) picks the Pallas fused kernel + bf16 operands at
-    hidden>=512 on TPU — measured 1.2-1.4x over the XLA scan, 80+ achieved
-    TFLOP/s at hidden 1024 (`artifacts/pallas_scale_bench.json`); at the
-    reference's 88-wide sizes XLA's pipelined scan wins and is kept.
+    picks the Pallas kernels + bf16 operands at hidden>=512 on TPU — measured
+    forward 1.2-1.4x over the XLA scan (80+ achieved TFLOP/s at hidden 1024,
+    `artifacts/pallas_scale_bench.json`) and the full train step 1.9-2.3x
+    (33% MFU vs 14%, `artifacts/train_scale_bench.json`; the backward is a
+    second Pallas kernel, see ops/pallas_lstm.py); at the reference's 88-wide
+    sizes XLA's pipelined scan wins and is kept.
     """
     import dataclasses
 

@@ -17,10 +17,16 @@ Layout notes (see /opt/skills/guides/pallas_guide.md):
 * grid over batch blocks when B is large; each program owns its (h, c) block;
 * matmuls use ``preferred_element_type=jnp.float32``.
 
-Training support: ``lstm_sequence_pallas`` carries a ``jax.custom_vjp`` whose
-forward saves (h_seq, c_seq) from the kernel and whose backward is an XLA
-reverse-time scan recomputing the gates — forward fusion is where the win is;
-the backward is matmul-bound and XLA handles it well.
+Training support: ``lstm_sequence_pallas`` carries a ``jax.custom_vjp``. The
+forward rule runs a training variant of the kernel that additionally streams
+out the pre-activations ``z`` (so the backward never redoes the recurrent
+matmul), and the backward is a SECOND Pallas kernel running time in reverse
+with (dh, dc) resident in VMEM — its only sequential matmul is
+``dz @ rk.T``. Everything order-independent leaves the kernel: the recurrent
+weight gradient is one large ``[H, B*T] @ [B*T, 4H]`` MXU matmul over the
+saved hidden sequence, and the input-projection backward is XLA autodiff of
+the hoisted matmul. This keeps the backward's sequential critical path the
+same length as the forward's (one [B,*]@[*,H] matmul per step).
 
 Measured on TPU v5e (`tools/bench_pallas_scale.py`, results committed in
 `artifacts/pallas_scale_bench.json`):
@@ -33,7 +39,13 @@ Measured on TPU v5e (`tools/bench_pallas_scale.py`, results committed in
   the kernel WINS — 1.36x at H=1024/B=1024 (1911 vs 2594 us, 80.9 achieved
   TFLOP/s = 41% of v5e bf16 peak) and 1.21x at T=64/B=256. Wired into the
   forward-dominated shipping paths: ``cli/evaluate.py --lstm_backend`` and
-  ``cli/serve.py`` ('auto' selects it at hidden>=512 on TPU).
+  ``cli/serve.py`` ('auto' selects it at hidden>=512 on TPU);
+* TRAINING at scaled sizes (`tools/bench_lstm_bwd.py`,
+  `artifacts/lstm_bwd_bench.json`): with the Pallas backward kernel the
+  fwd+bwd pass at H=1024/B=1024 bf16 runs 6.0 ms vs XLA autodiff's 13.0 ms
+  (74.7 vs 34.8 sustained TFLOP/s) — 2.14x; the full cl_vrnn optimizer step
+  is 2.3x (33.2% vs 14.3% MFU, `artifacts/train_scale_bench.json`).
+  `cl_vrnn_train --lstm_backend auto` selects it at hidden>=512 on TPU.
 
 Falls back to interpret mode automatically off-TPU so tests run on the CPU
 mesh. Select with ``lstm_backend='pallas'`` (cl_vrnn Config / CLI flag).
@@ -182,12 +194,16 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = N
     return kernel(xz_t, rk, h0, c0)
 
 
-def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int) -> tuple[int, int | None]:
+def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
+                 stream_units: int = 6) -> tuple[int, int | None]:
     """(block_b, block_t) from a ~14 MB VMEM budget (16 MB/core minus slack).
 
     The resident recurrent weight costs ``H * 4H * rk_bytes_per_el``; the
-    streamed blocks are double-buffered (x2). Prefers the whole-T kernel when
-    it fits (one grid dim, no carry re-init); falls back to time tiling."""
+    streamed blocks are double-buffered (x2). ``stream_units`` counts the
+    H-multiples streamed per (batch, time) element: 6 for the inference
+    forward (xz in + h/c out), 10 for the training forward (+z out), 12 for
+    the backward (z/c_prev/c/dh/dc in + dz out). Prefers the whole-T kernel
+    when it fits (one grid dim, no carry re-init); falls back to time tiling."""
     budget = 14 * 1024 * 1024
     rk_cost = H * 4 * H * rk_bytes_per_el
     # Mosaic needs the sublane (second-to-last) block dim divisible by 8
@@ -196,11 +212,11 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int) -> tuple[int, int
                      if B % d == 0 and (d % 8 == 0 or d == B)), reverse=True)
     # single-block fast path: grid (1,), nothing double-buffered (round-1
     # regime — B=200 whole-batch fits and runs fastest)
-    single = rk_cost + 4 * (T * B * 4 * H + 2 * T * B * H) + 4 * 2 * B * H
+    single = rk_cost + 4 * (T * B * stream_units * H) + 4 * 2 * B * H
     if single < budget:
         return B, None
     for bb in b_divs:  # whole-T kernel next: one grid dim, no carry re-init
-        whole = rk_cost + 4 * 2 * (T * bb * 4 * H + 2 * T * bb * H) + 4 * 2 * bb * H
+        whole = rk_cost + 4 * 2 * (T * bb * stream_units * H) + 4 * 2 * bb * H
         if whole < budget:
             return bb, None
     t_divs = sorted((d for d in range(1, T + 1) if T % d == 0), reverse=True)
@@ -208,10 +224,177 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int) -> tuple[int, int
         if bb > 256:
             continue
         for bt in t_divs:  # bb first: a wide [bb, H] @ [H, 4H] feeds the MXU
-            need = rk_cost + 4 * 2 * (bt * bb * 4 * H + 2 * bt * bb * H) + 4 * 2 * bb * H
+            need = rk_cost + 4 * 2 * (bt * bb * stream_units * H) + 4 * 2 * bb * H
             if need < budget:
                 return bb, bt
     return b_divs[-1], t_divs[-1]
+
+
+def _lstm_seq_train_kernel(xz_ref, rk_ref, h0_ref, c0_ref,
+                           hseq_ref, cseq_ref, zseq_ref, h_scr, c_scr):
+    """Training forward: the t-blocked kernel, additionally streaming out the
+    pre-activations ``z`` so the backward kernel never redoes the recurrent
+    matmul (saving z costs one 4H-wide HBM write per step; recomputing it
+    would cost a sequential [B,H]@[H,4H] matmul per step — measured slower)."""
+    T_blk = xz_ref.shape[0]
+    H = h_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+
+    def step(t, _):
+        z = xz_ref[t].astype(f32) + jnp.dot(
+            h_scr[:].astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
+        )
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_scr[:] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[:] = h
+        c_scr[:] = c
+        hseq_ref[t] = h
+        cseq_ref[t] = c
+        zseq_ref[t] = z
+        return 0
+
+    jax.lax.fori_loop(0, T_blk, step, 0)
+
+
+def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
+                     rkt_ref, dzseq_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
+    """Reverse-time BPTT block: (dh, dc) live in VMEM scratch across all
+    t-blocks (the grid's t axis is index-mapped to walk time BACKWARD); the
+    only sequential matmul is ``dz @ rk.T``. The order-independent weight
+    gradient is NOT accumulated here — it leaves as the dz stream and becomes
+    one big MXU matmul outside (carrying the [H, 4H] f32 accumulator through
+    a reverse scan is exactly what made the XLA backward HBM-bound)."""
+    del nt
+    T_blk = zseq_ref.shape[0]
+    H = dh_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    f32 = jnp.float32
+    wt = rkt_ref.dtype
+    prec = "highest" if wt == f32 else None
+    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
+
+    def step(s, _):
+        t = T_blk - 1 - s  # reverse within the block
+        z = zseq_ref[t]
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        tanh_c = jnp.tanh(cseq_ref[t])
+
+        dh = dh_scr[:] + dhseq_ref[t]
+        dc = dc_scr[:] + dcseq_ref[t] + dh * o * (1 - tanh_c**2)
+        do = dh * tanh_c
+        di = dc * g
+        dg = dc * i
+        df = dc * cprev_ref[t]
+        dz = jnp.concatenate(
+            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
+        )
+        dzseq_ref[t] = dz
+        dh_scr[:] = jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32, precision=prec)
+        dc_scr[:] = dc * f
+        return 0
+
+    jax.lax.fori_loop(0, T_blk, step, 0)
+    # every t-block writes; the LAST grid step is time-block 0, so the final
+    # write is the true (dh0, dc0)
+    dh0_ref[:] = dh_scr[:]
+    dc0_ref[:] = dc_scr[:]
+
+
+def _forward_train_call(xz_t, rk, h0, c0):
+    """Training forward: (h_seq, c_seq, z_seq) all [T, B, .]."""
+    T, B, H4 = xz_t.shape
+    H = H4 // 4
+    block_b, block_t = _pick_blocks(B, T, H, rk.dtype.itemsize, stream_units=10)
+    if block_t is None:
+        block_t = T
+    nb = pl.cdiv(B, block_b)
+    nt = pl.cdiv(T, block_t)
+    kernel = pl.pallas_call(
+        _lstm_seq_train_kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((block_t, block_b, H4), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_t, block_b, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H4), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )
+    return kernel(xz_t, rk, h0, c0)
+
+
+def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
+    """(dz_seq [T, B, 4H], dh0 [B, H], dc0 [B, H])."""
+    T, B, H4 = z_seq.shape
+    H = H4 // 4
+    block_b, block_t = _pick_blocks(B, T, H, rk_t.dtype.itemsize, stream_units=12)
+    if block_t is None:
+        block_t = T
+    nb = pl.cdiv(B, block_b)
+    nt = pl.cdiv(T, block_t)
+    rev = lambda b, t: (nt - 1 - t, b, 0)  # walk time blocks backward
+    kernel = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, nt),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((block_t, block_b, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_t, block_b, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )
+    return kernel(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -224,52 +407,31 @@ def _lstm_pallas_core(xz_t, rk, h0, c0):
 
 
 def _core_fwd(xz_t, rk, h0, c0):
-    h_seq, c_seq = _lstm_pallas_core(xz_t, rk, h0, c0)
-    return (h_seq, c_seq), (xz_t, rk, h0, c0, h_seq, c_seq)
+    h_seq, c_seq, z_seq = _forward_train_call(xz_t, rk, h0, c0)
+    return (h_seq, c_seq), (rk, h0, c0, h_seq, c_seq, z_seq)
 
 
 def _core_bwd(res, grads):
-    """Reverse-time BPTT recomputing gates from saved (xz, h, c) sequences."""
-    xz_t, rk, h0, c0, h_seq, c_seq = res
+    """Pallas reverse-time BPTT + one big MXU matmul for the weight grad."""
+    rk, h0, c0, h_seq, c_seq, z_seq = res
     dh_seq, dc_seq = grads
-    T, B, H4 = xz_t.shape
+    T, B, H4 = z_seq.shape
     H = H4 // 4
-    rk_in_dtype = rk.dtype
-    rk = rk.astype(jnp.float32)  # bf16 weights at scale: bwd scan stays f32
+    wt = rk.dtype
+    prec = "highest" if wt == jnp.float32 else None
 
-    h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
-
-    def step(carry, xs):
-        dh_next, dc_next, drk = carry
-        xz, h_prev, c_prev, c, dh_out, dc_out = xs
-        z = xz + jnp.dot(h_prev, rk, preferred_element_type=jnp.float32, precision="highest")
-        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
-        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
-        g = jnp.tanh(z[:, 2 * H : 3 * H])
-        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
-        tanh_c = jnp.tanh(c)
-
-        dh = dh_next + dh_out
-        dc = dc_next + dc_out + dh * o * (1 - tanh_c**2)
-        do = dh * tanh_c
-        di = dc * g
-        dg = dc * i
-        df = dc * c_prev
-        # hard-sigmoid derivative: 0.2 inside the clip, 0 outside
-        hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
-        dz = jnp.concatenate(
-            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
-        )
-        dh_prev = jnp.dot(dz, rk.T, preferred_element_type=jnp.float32, precision="highest")
-        drk = drk + jnp.dot(h_prev.T, dz, preferred_element_type=jnp.float32, precision="highest")
-        dc_prev = dc * f
-        return (dh_prev, dc_prev, drk), dz
-
-    init = (jnp.zeros_like(h0), jnp.zeros_like(c0), jnp.zeros_like(rk))
-    xs = (xz_t, h_prev_seq, c_prev_seq, c_seq, dh_seq, dc_seq)
-    (dh0, dc0, drk), dxz = jax.lax.scan(step, init, xs, reverse=True)
-    return dxz, drk.astype(rk_in_dtype), dh0, dc0
+    dz_seq, dh0, dc0 = _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq,
+                                      rk.T.astype(wt))
+    # order-independent weight gradient: one [H, B*T] @ [B*T, 4H] MXU matmul
+    # over the whole sequence (same compute dtype as the forward)
+    h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
+    drk = jnp.dot(
+        h_prev_seq.reshape(T * B, H).T.astype(wt),
+        dz_seq.reshape(T * B, H4).astype(wt),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    return dz_seq, drk.astype(wt), dh0, dc0
 
 
 _lstm_pallas_core.defvjp(_core_fwd, _core_bwd)

@@ -118,3 +118,30 @@ def test_pallas_bf16_mode_close_to_f32():
     h16, _ = lstm_sequence_pallas(params, x, h0, h0, compute_dtype=jnp.bfloat16)
     assert h16.dtype == jnp.float32  # f32 accumulation/state
     np.testing.assert_allclose(np.asarray(h16), np.asarray(h32), rtol=0.05, atol=0.03)
+
+
+def test_gradients_tblocked_matches_xla(monkeypatch):
+    """Backward kernel with time tiling: forces (block_b, block_t) so the
+    reversed-grid (dh, dc) scratch carry crosses t-block boundaries."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_units=6: (8, 2),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 12))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (16, 16))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (16, 16))
+
+    def loss(p, x, h0, c0, backend):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+        return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
+
+    for argnums in [0, 1, 2, 3]:
+        ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
+        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
+        flat_a, _ = jax.tree.flatten(ga)
+        flat_b, _ = jax.tree.flatten(gb)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -278,3 +278,16 @@ def test_http_seed_midi_base64(tmp_path):
         assert code == 400 and "seed MIDI" in out["error"]
     finally:
         httpd.shutdown()
+
+
+def test_cl_vrnn_config_roundtrips_bf16_compute():
+    """A checkpoint trained under --lstm_backend auto records the RESOLVED
+    backend + compute dtype in args.json and reloads with those numerics."""
+    from classifying_vae_lstm_tpu.cli.common import cl_vrnn_config_from_args
+
+    margs = {"original_dim": 88, "intermediate_dim": 512, "latent_dim": 2,
+             "seq_length": 16, "n_classes": 2, "lstm_backend": "pallas",
+             "bf16_compute": True}
+    cfg = cl_vrnn_config_from_args(margs)
+    assert cfg.lstm_backend == "pallas" and cfg.bf16_compute
+    assert not cl_vrnn_config_from_args({**margs, "bf16_compute": False}).bf16_compute
