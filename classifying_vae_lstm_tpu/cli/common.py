@@ -133,10 +133,11 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
 
     'keep' leaves the checkpoint's setting (evaluate's default: the headline
     NLL numerics stay exactly what the checkpoint trained with). 'auto'
-    picks the Pallas kernels + bf16 operands at hidden>=512 on TPU — measured
-    forward 1.2-1.4x over the XLA scan (80+ achieved TFLOP/s at hidden 1024,
-    `artifacts/pallas_scale_bench.json`) and the full train step 1.9-2.3x
-    (33% MFU vs 14%, `artifacts/train_scale_bench.json`; the backward is a
+    picks the Pallas kernels + bf16 operands/streams at hidden>=512 on TPU —
+    measured forward 1.6x over the XLA scan (85 achieved TFLOP/s at hidden
+    1024, `artifacts/pallas_scale_bench.json`) and the full train step up to
+    3.1x (45% MFU vs 14%, `artifacts/train_scale_bench.json`; pallas won
+    every hidden>=512 config probed incl. batch 200 — the backward is a
     second Pallas kernel, see ops/pallas_lstm.py); at the reference's 88-wide
     sizes XLA's pipelined scan wins and is kept.
     """

@@ -34,18 +34,21 @@ Measured on TPU v5e (`tools/bench_pallas_scale.py`, results committed in
 * reference sizes (B=200, T=16, H=88, f32): the XLA scan wins the end-to-end
   forward (702 vs 1220 us incl. input projection) and training is a wash —
   default backend stays 'xla' there;
-* scaled sizes with bf16 weights resident in VMEM and the xz stream
-  double-buffered across a time-tiled grid (``_lstm_seq_kernel_tblocked``):
-  the kernel WINS — 1.36x at H=1024/B=1024 (1911 vs 2594 us, 80.9 achieved
-  TFLOP/s = 41% of v5e bf16 peak) and 1.21x at T=64/B=256. Wired into the
-  forward-dominated shipping paths: ``cli/evaluate.py --lstm_backend`` and
-  ``cli/serve.py`` ('auto' selects it at hidden>=512 on TPU);
+* scaled sizes with bf16 weights resident in VMEM, the streams (xz in; z/dz
+  residuals) ALSO in bf16 — halving HBM traffic and admitting a 128-row batch
+  block that fills the MXU — double-buffered across the tiled grid: forward
+  1.6x XLA (1763 vs 2811 us at H=1024/B=1024, 85.4 achieved TFLOP/s = 43% of
+  v5e bf16 peak). Wired into the forward-dominated shipping paths:
+  ``cli/evaluate.py --lstm_backend`` and ``cli/serve.py`` ('auto' selects it
+  at hidden>=512 on TPU);
 * TRAINING at scaled sizes (`tools/bench_lstm_bwd.py`,
   `artifacts/lstm_bwd_bench.json`): with the Pallas backward kernel the
-  fwd+bwd pass at H=1024/B=1024 bf16 runs 6.0 ms vs XLA autodiff's 13.0 ms
-  (74.7 vs 34.8 sustained TFLOP/s) — 2.14x; the full cl_vrnn optimizer step
-  is 2.3x (33.2% vs 14.3% MFU, `artifacts/train_scale_bench.json`).
-  `cl_vrnn_train --lstm_backend auto` selects it at hidden>=512 on TPU.
+  fwd+bwd pass at H=1024/B=1024 bf16 runs 4.39 ms vs XLA autodiff's 12.97 ms
+  (103.0 vs 34.9 sustained TFLOP/s = 52% of peak) — 2.96x; the full cl_vrnn
+  optimizer step is 3.1x (45.0% vs 14.4% MFU; 44.4% at T=64/B=256 —
+  `artifacts/train_scale_bench.json`). `cl_vrnn_train --lstm_backend auto`
+  selects it at hidden>=512 on TPU. h/c state and all accumulation stay f32;
+  only the stream dtypes follow ``compute_dtype``.
 
 Falls back to interpret mode automatically off-TPU so tests run on the CPU
 mesh. Select with ``lstm_backend='pallas'`` (cl_vrnn Config / CLI flag).
@@ -195,38 +198,56 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = N
 
 
 def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
-                 stream_units: int = 6) -> tuple[int, int | None]:
+                 stream_bytes: int = 24, min_sublane: int = 8) -> tuple[int, int | None]:
     """(block_b, block_t) from a ~14 MB VMEM budget (16 MB/core minus slack).
 
     The resident recurrent weight costs ``H * 4H * rk_bytes_per_el``; the
-    streamed blocks are double-buffered (x2). ``stream_units`` counts the
-    H-multiples streamed per (batch, time) element: 6 for the inference
-    forward (xz in + h/c out), 10 for the training forward (+z out), 12 for
-    the backward (z/c_prev/c/dh/dc in + dz out). Prefers the whole-T kernel
-    when it fits (one grid dim, no carry re-init); falls back to time tiling."""
+    streamed blocks are double-buffered (x2). ``stream_bytes`` is the total
+    bytes streamed per (batch element, time step) in units of H — e.g. the
+    f32 inference forward moves xz in (4H x 4 B) + h/c out (2H x 4 B) = 24;
+    the bf16 training streams are half that per tensor (see the callers).
+
+    Selection order: the single-block fast path (grid (1,), reference regime),
+    then the LARGEST batch block that fits — wide [bb, H] @ [H, 4H] matmuls
+    are what feed the MXU (bb=128 fills its rows; preferring tiny-bb whole-T
+    kernels was measured 2.5x slower at H=1024 bf16) — preferring whole-T over
+    time-tiled at equal bb (one grid dim, no carry re-init).
+
+    ``min_sublane`` is the Mosaic sublane tile for the streamed dtype: blocks'
+    second-to-last dim must be a multiple of 8 (f32) / 16 (bf16) unless it
+    equals the full array dim; bf16 callers pass 16. If no aligned divisor of
+    B fits, 8-aligned divisors are tried (relayout cost beats a VMEM blowup).
+    """
     budget = 14 * 1024 * 1024
     rk_cost = H * 4 * H * rk_bytes_per_el
-    # Mosaic needs the sublane (second-to-last) block dim divisible by 8
-    # unless it equals the full array dim
-    b_divs = sorted((d for d in range(1, B + 1)
-                     if B % d == 0 and (d % 8 == 0 or d == B)), reverse=True)
+    scratch = lambda bb: 4 * 2 * bb * H
+    t_divs = sorted((d for d in range(1, T + 1) if T % d == 0), reverse=True)
     # single-block fast path: grid (1,), nothing double-buffered (round-1
     # regime — B=200 whole-batch fits and runs fastest)
-    single = rk_cost + 4 * (T * B * stream_units * H) + 4 * 2 * B * H
-    if single < budget:
+    if rk_cost + T * B * stream_bytes * H + scratch(B) < budget:
         return B, None
-    for bb in b_divs:  # whole-T kernel next: one grid dim, no carry re-init
-        whole = rk_cost + 4 * 2 * (T * bb * stream_units * H) + 4 * 2 * bb * H
-        if whole < budget:
-            return bb, None
-    t_divs = sorted((d for d in range(1, T + 1) if T % d == 0), reverse=True)
-    for bb in b_divs:
-        if bb > 256:
-            continue
-        for bt in t_divs:  # bb first: a wide [bb, H] @ [H, 4H] feeds the MXU
-            need = rk_cost + 4 * 2 * (bt * bb * stream_units * H) + 4 * 2 * bb * H
-            if need < budget:
-                return bb, bt
+
+    def search(sub):
+        b_divs = sorted((d for d in range(1, B + 1)
+                         if B % d == 0 and (d % sub == 0 or d == B)), reverse=True)
+        for bb in b_divs:
+            if bb > 256:
+                continue
+            if rk_cost + 2 * (T * bb * stream_bytes * H) + scratch(bb) < budget:
+                return bb, None  # whole-T at this bb
+            for bt in t_divs:
+                if bt == T:
+                    continue
+                if rk_cost + 2 * (bt * bb * stream_bytes * H) + scratch(bb) < budget:
+                    return bb, bt
+        return None
+
+    for sub in [min_sublane, 8] if min_sublane != 8 else [8]:
+        got = search(sub)
+        if got is not None:
+            return got
+    b_divs = sorted((d for d in range(1, B + 1)
+                     if B % d == 0 and (d % 8 == 0 or d == B)), reverse=True)
     return b_divs[-1], t_divs[-1]
 
 
@@ -262,7 +283,7 @@ def _lstm_seq_train_kernel(xz_ref, rk_ref, h0_ref, c0_ref,
         c_scr[:] = c
         hseq_ref[t] = h
         cseq_ref[t] = c
-        zseq_ref[t] = z
+        zseq_ref[t] = z.astype(zseq_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, T_blk, step, 0)
@@ -292,7 +313,7 @@ def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
 
     def step(s, _):
         t = T_blk - 1 - s  # reverse within the block
-        z = zseq_ref[t]
+        z = zseq_ref[t].astype(f32)
         i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
         f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
         g = jnp.tanh(z[:, 2 * H : 3 * H])
@@ -308,7 +329,7 @@ def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
         dz = jnp.concatenate(
             [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
         )
-        dzseq_ref[t] = dz
+        dzseq_ref[t] = dz.astype(dzseq_ref.dtype)
         dh_scr[:] = jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32, precision=prec)
         dc_scr[:] = dc * f
         return 0
@@ -321,10 +342,16 @@ def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
 
 
 def _forward_train_call(xz_t, rk, h0, c0):
-    """Training forward: (h_seq, c_seq, z_seq) all [T, B, .]."""
+    """Training forward: (h_seq, c_seq, z_seq) [T, B, .]. h/c are f32 (state
+    contract + downstream heads); the z residual stream keeps xz's dtype —
+    bf16 in the scaled mode, halving the widest stream both ways."""
     T, B, H4 = xz_t.shape
     H = H4 // 4
-    block_b, block_t = _pick_blocks(B, T, H, rk.dtype.itemsize, stream_units=10)
+    sd = xz_t.dtype
+    # xz in (4H) + z out (4H) at stream dtype, h/c out (2H) f32
+    stream_bytes = 8 * jnp.dtype(sd).itemsize + 8
+    block_b, block_t = _pick_blocks(B, T, H, rk.dtype.itemsize, stream_bytes,
+                                    min_sublane=16 if jnp.dtype(sd).itemsize == 2 else 8)
     if block_t is None:
         block_t = T
     nb = pl.cdiv(B, block_b)
@@ -346,7 +373,7 @@ def _forward_train_call(xz_t, rk, h0, c0):
         out_shape=(
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), sd),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_b, H), jnp.float32),
@@ -358,10 +385,16 @@ def _forward_train_call(xz_t, rk, h0, c0):
 
 
 def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
-    """(dz_seq [T, B, 4H], dh0 [B, H], dc0 [B, H])."""
+    """(dz_seq [T, B, 4H], dh0 [B, H], dc0 [B, H]). dz keeps z's stream
+    dtype — it only feeds bf16-operand matmuls downstream (drk and the
+    input-projection backward)."""
     T, B, H4 = z_seq.shape
     H = H4 // 4
-    block_b, block_t = _pick_blocks(B, T, H, rk_t.dtype.itemsize, stream_units=12)
+    sd = z_seq.dtype
+    # z in + dz out (4H each) at stream dtype; c_prev/c/dh/dc (4H total) f32
+    stream_bytes = 8 * jnp.dtype(sd).itemsize + 16
+    block_b, block_t = _pick_blocks(B, T, H, rk_t.dtype.itemsize, stream_bytes,
+                                    min_sublane=16 if jnp.dtype(sd).itemsize == 2 else 8)
     if block_t is None:
         block_t = T
     nb = pl.cdiv(B, block_b)
@@ -384,7 +417,7 @@ def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
             pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), sd),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ),
@@ -399,8 +432,11 @@ def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _lstm_pallas_core(xz_t, rk, h0, c0):
+    # xz in (4H) at its own dtype, h/c out (2H) f32
+    stream_bytes = 4 * jnp.dtype(xz_t.dtype).itemsize + 8
     block_b, block_t = _pick_blocks(
-        xz_t.shape[1], xz_t.shape[0], h0.shape[-1], rk.dtype.itemsize
+        xz_t.shape[1], xz_t.shape[0], h0.shape[-1], rk.dtype.itemsize, stream_bytes,
+        min_sublane=16 if jnp.dtype(xz_t.dtype).itemsize == 2 else 8,
     )
     h_seq, c_seq = _forward_kernel_call(xz_t, rk, h0, c0, block_b, block_t)
     return h_seq, c_seq
@@ -445,13 +481,17 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
     recurrent weight stored bf16 inside the kernel."""
     # the FLOP-heavy input projection stays a single large XLA matmul
     if compute_dtype is not None:
+        # the xz stream itself travels in compute_dtype (f32 accumulation in
+        # the matmul, rounded once on output) — halves the widest HBM stream
+        # into/out of the kernels and admits a larger batch block
         xz = jnp.dot(x.astype(compute_dtype), params["kernel"].astype(compute_dtype),
                      preferred_element_type=jnp.float32) + params["bias"]
+        xz = xz.astype(compute_dtype)
         rk = params["recurrent_kernel"].astype(compute_dtype)
     else:
-        xz = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32,
-                     precision="highest") + params["bias"]
+        xz = (jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32,
+                      precision="highest") + params["bias"]).astype(jnp.float32)
         rk = params["recurrent_kernel"].astype(jnp.float32)
-    xz_t = jnp.swapaxes(xz, 0, 1).astype(jnp.float32)
+    xz_t = jnp.swapaxes(xz, 0, 1)
     h_seq, c_seq = _lstm_pallas_core(xz_t, rk, h0, c0)
     return jnp.swapaxes(h_seq, 0, 1), (h_seq[-1], c_seq[-1])

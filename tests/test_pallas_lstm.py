@@ -127,7 +127,7 @@ def test_gradients_tblocked_matches_xla(monkeypatch):
 
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_units=6: (8, 2),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (8, 2),
     )
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 12))
@@ -145,3 +145,42 @@ def test_gradients_tblocked_matches_xla(monkeypatch):
         flat_b, _ = jax.tree.flatten(gb)
         for a, b in zip(flat_a, flat_b):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_bf16_mode_close_to_f32():
+    """bf16 stream mode: grads stay close to the f32 pallas path (rounding in
+    the xz/z/dz streams only — state and accumulation remain f32)."""
+    p, x, h0, c0 = _setup()
+
+    def loss(p, cd):
+        h, _ = lstm_sequence(p, x, h0, c0, backend="pallas", compute_dtype=cd)
+        return jnp.mean(h**2)
+
+    g32 = jax.grad(loss)(p, None)
+    g16 = jax.grad(loss)(p, jnp.bfloat16)
+    for k in g32:
+        a, b = np.asarray(g32[k], np.float32), np.asarray(g16[k], np.float32)
+        assert np.all(np.abs(a - b) <= 0.05 * np.abs(a).max() + 1e-4), k
+
+
+def test_gradients_bf16_tblocked(monkeypatch):
+    """bf16 streams + batch/time-tiled grids together (the configuration the
+    scaled training mode actually runs): grads close to the f32 XLA scan."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (16, 2),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 12))
+
+    def loss(p, backend, cd):
+        h, _ = lstm_sequence(p, x, backend=backend, compute_dtype=cd)
+        return jnp.mean(h**2)
+
+    ga = jax.grad(loss)(p, "xla", None)
+    gb = jax.grad(loss)(p, "pallas", jnp.bfloat16)
+    for k in ga:
+        a, b = np.asarray(ga[k], np.float32), np.asarray(gb[k], np.float32)
+        assert np.all(np.abs(a - b) <= 0.05 * np.abs(a).max() + 1e-4), k

