@@ -1,0 +1,238 @@
+"""Pallas fused WHOLE-GENERATION kernel for the cl_vrnn sampler.
+
+Autoregressive generation is the serving hot path (reference
+``cl_vrnn/model.py:9-60`` crossed Python<->TF 2-3x per frame; the XLA rebuild
+made a whole song one ``lax.scan`` program). This kernel goes one level
+further: the ENTIRE generate loop — encoder LSTM cell, z heads, z sample,
+decoder LSTM cell, sigmoid frame head, Bernoulli draw, feedback — runs inside
+ONE Pallas kernel with every weight matrix resident in VMEM and the carried
+state (h/c of both LSTMs plus the fed-back frame) in VMEM scratch.
+
+Why it wins: under ``lax.scan`` XLA re-fetches the weights from HBM every
+timestep (buffers are not pinned across loop iterations) — at hidden 512
+that's ~5 MB/step, so a 256-step generation moves >1 GB of weight traffic
+that this kernel loads exactly once. The streams that remain are the tiny
+per-step tensors: seed frames in, (eps, u) noise in, frames/probs out.
+
+Randomness is EXPLICIT: the caller pre-draws ``eps`` (Gaussian for z) and
+``u`` (uniforms for the Bernoulli frame draws) with ``jax.random`` and the
+kernel is a pure deterministic function of them — verified EXACTLY against
+:func:`...sampling.generate.generate_cl_vrnn_batch_noise` (same noise in,
+same songs out; ``tests/test_pallas_generate.py``).
+
+VMEM budget: both recurrent kernels must fit (bf16 at scale), so the kernel
+supports hidden <= ~768 bf16 / ~512 f32; :func:`fits` gates selection and the
+XLA scan remains the fallback (and the parity default at reference sizes).
+
+Falls back to interpret mode off-TPU so the tests run on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_lstm import _interpret
+
+_BUDGET = 14 * 1024 * 1024
+
+
+def _gates(z, c_prev, H):
+    i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+    f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+    g = jnp.tanh(z[:, 2 * H : 3 * H])
+    o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+    c = f * c_prev + i * g
+    return o * jnp.tanh(c), c
+
+
+def _weight_bytes(D: int, H: int, L: int, wt_bytes: int) -> int:
+    """Resident weight cost: enc x-kernel, enc rk, z head, dec z/x kernels,
+    dec rk, frame head."""
+    return wt_bytes * (
+        D * 4 * H + H * 4 * H          # encoder x-kernel + recurrent
+        + H * 128 + L * 4 * H          # z heads (lane-padded) + decoder z rows
+        + D * 4 * H + H * 4 * H        # decoder x rows + recurrent
+        + H * D                        # frame head
+    )
+
+
+def fits(cfg) -> bool:
+    """Can the fused generation kernel hold this model's weights in VMEM?"""
+    wt_bytes = 2 if cfg.bf16_compute else 4
+    D, H, L = cfg.original_dim, cfg.intermediate_dim, cfg.latent_dim
+    # leave room for per-song [bb, 4H] projections, scratch, and streams
+    # (2.5 MB suffices at block_b 16; _pick_blocks shrinks blocks to fit)
+    return _weight_bytes(D, H, L, wt_bytes) < _BUDGET - int(2.5 * 1024 * 1024)
+
+
+def _pick_blocks(B: int, T: int, D: int, H: int, L: int, wt_bytes: int):
+    wcost = _weight_bytes(D, H, L, wt_bytes)
+    stream = (4 * D + L) * 4  # seed + u + x_out + xm_out (D each) + eps (L), f32
+    b_divs = sorted((d for d in range(1, B + 1)
+                     if B % d == 0 and (d % 8 == 0 or d == B)), reverse=True)
+    t_divs = sorted((d for d in range(1, T + 1) if T % d == 0), reverse=True)
+    for bb in b_divs:
+        if bb > 256:
+            continue
+        fixed = wcost + 2 * bb * 4 * H * 4 + 4 * bb * (4 * H + D)  # song proj + scratch
+        for bt in t_divs:
+            if fixed + 2 * (bt * bb * stream) < _BUDGET:
+                return bb, bt
+    return b_divs[-1], t_divs[-1]
+
+
+def _make_kernel(Tseed: int, block_t: int, H: int, L: int, use_x_prev: bool, wt):
+    f32 = jnp.float32
+    prec = "highest" if wt == f32 else None
+    mm = lambda a, b: jnp.dot(a.astype(wt), b[:], preferred_element_type=f32,
+                              precision=prec)
+
+    def kernel(seed_ref, eps_ref, u_ref,
+               wke_x_ref, rke_ref, encb_ref, wz_ref, bz_ref,
+               wkd_x_ref, wkd_z_ref, rkd_ref, decb_ref, wx_ref, bx_ref,
+               x_out_ref, xm_out_ref,
+               he_scr, ce_scr, hd_scr, cd_scr, xprev_scr):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            he_scr[:] = jnp.zeros_like(he_scr)
+            ce_scr[:] = jnp.zeros_like(ce_scr)
+            hd_scr[:] = jnp.zeros_like(hd_scr)
+            cd_scr[:] = jnp.zeros_like(cd_scr)
+            xprev_scr[:] = jnp.zeros_like(xprev_scr)
+
+        t0 = pl.program_id(1) * block_t
+
+        def step(s, _):
+            tg = t0 + s
+            x_in = jnp.where(tg < Tseed, seed_ref[s], xprev_scr[:])
+            # encoder cell (w contribution + bias precomputed per song: encb)
+            z_e = mm(x_in, wke_x_ref) + encb_ref[:] + mm(he_scr[:], rke_ref)
+            h_e, c_e = _gates(z_e, ce_scr[:], H)
+            he_scr[:] = h_e
+            ce_scr[:] = c_e
+            # z heads: packed into a 128-lane-padded [H, 128] weight so the
+            # matmul is MXU-shaped (an [H, 2L] output would be scalarized)
+            zmv = mm(h_e, wz_ref) + bz_ref[:]
+            z = zmv[:, :L] + jnp.exp(zmv[:, L : 2 * L] / 2) * eps_ref[s]
+            # decoder cell; z's contribution expanded as L rank-1 broadcast
+            # products (a contraction dim of L=2 would also scalarize)
+            z_d = decb_ref[:] + mm(hd_scr[:], rkd_ref)
+            for l in range(L):
+                z_d = z_d + z[:, l : l + 1] * wkd_z_ref[l : l + 1].astype(f32)
+            if use_x_prev:
+                z_d = z_d + mm(x_in, wkd_x_ref)
+            h_d, c_d = _gates(z_d, cd_scr[:], H)
+            hd_scr[:] = h_d
+            cd_scr[:] = c_d
+            # frame head (lane-padded to a 128-wide MXU output, prefix-sliced
+            # back to D) + Bernoulli draw (u < p), fed back as x_prev
+            D = xprev_scr.shape[-1]
+            xm = jax.nn.sigmoid(mm(h_d, wx_ref) + bx_ref[:])[:, :D]
+            x_t = (u_ref[s] < xm).astype(f32)
+            xprev_scr[:] = x_t
+            x_out_ref[s] = x_t
+            xm_out_ref[s] = xm
+            return 0
+
+        jax.lax.fori_loop(0, block_t, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "return_probs"))
+def generate_cl_vrnn_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
+                                  return_probs: bool = False):
+    """Fused-kernel equivalent of ``generate_cl_vrnn_batch_noise``.
+
+    x_seeds [B, Tseed, D]; eps [B, total, L]; u [B, total, D]; ws [B, K].
+    Returns [B, nsteps, D] (post-seed frames; probs when ``return_probs``).
+    """
+    B, Tseed, D = x_seeds.shape
+    H, L = cfg.intermediate_dim, cfg.latent_dim
+    total = Tseed + nsteps
+    wt = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
+    f32 = jnp.float32
+    prec = "highest" if wt == f32 else None
+
+    enc, dec = params["encoder_h"], params["decoder_h"]
+    n_xp = D if cfg.use_x_prev else 0
+    # per-song constant projections fold the w rows AND the biases
+    encb = (
+        jnp.dot(ws, enc["kernel"][D:], preferred_element_type=f32, precision="highest")
+        + enc["bias"]
+    ).astype(f32)
+    decb = (
+        jnp.dot(ws, dec["kernel"][n_xp + L :], preferred_element_type=f32, precision="highest")
+        + dec["bias"]
+    ).astype(f32)
+    # z-head weights padded to 128 lanes: cols [0:L] = Z_mean, [L:2L] = Z_log_var
+    wz = jnp.zeros((H, 128), f32).at[:, :L].set(params["Z_mean"]["kernel"]) \
+        .at[:, L : 2 * L].set(params["Z_log_var"]["kernel"])
+    bz = jnp.zeros((1, 128), f32).at[0, :L].set(params["Z_mean"]["bias"]) \
+        .at[0, L : 2 * L].set(params["Z_log_var"]["bias"])
+    wkd_x = dec["kernel"][:n_xp] if cfg.use_x_prev else jnp.zeros((D, 4 * H), f32)
+    Dp = max(128, -(-D // 128) * 128)  # frame head lane-padded
+    wx = jnp.zeros((H, Dp), f32).at[:, :D].set(params["X_decoded_mean"]["kernel"])
+    bx = jnp.zeros((1, Dp), f32).at[0, :D].set(params["X_decoded_mean"]["bias"])
+
+    seed_pad = jnp.concatenate(
+        [x_seeds, jnp.zeros((B, nsteps, D), x_seeds.dtype)], axis=1)
+    tm = lambda a: jnp.swapaxes(a, 0, 1)  # [B, T, .] -> time-major
+
+    block_b, block_t = _pick_blocks(B, total, D, H, L, jnp.dtype(wt).itemsize)
+    nb = pl.cdiv(B, block_b)
+    nt = pl.cdiv(total, block_t)
+
+    t_spec = lambda dim: pl.BlockSpec((block_t, block_b, dim), lambda b, t: (t, b, 0),
+                                      memory_space=pltpu.VMEM)
+    const = lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    song = lambda c: pl.BlockSpec((block_b, c), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+
+    kernel = pl.pallas_call(
+        _make_kernel(Tseed, block_t, H, L, cfg.use_x_prev, wt),
+        grid=(nb, nt),
+        in_specs=[
+            t_spec(D),               # seed
+            t_spec(L),               # eps
+            t_spec(D),               # u
+            const(D, 4 * H),         # enc x-kernel
+            const(H, 4 * H),         # enc recurrent
+            song(4 * H),             # encb (w rows + bias, per song)
+            const(H, 128),           # z heads packed (lane-padded)
+            const(1, 128),           # z bias
+            const(D, 4 * H),         # dec x rows
+            const(L, 4 * H),         # dec z rows
+            const(H, 4 * H),         # dec recurrent
+            song(4 * H),             # decb
+            const(H, Dp),            # frame head (lane-padded)
+            const(1, Dp),            # frame bias
+        ],
+        out_specs=(t_spec(D), t_spec(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((total, B, D), f32),
+            jax.ShapeDtypeStruct((total, B, D), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), f32),
+            pltpu.VMEM((block_b, H), f32),
+            pltpu.VMEM((block_b, H), f32),
+            pltpu.VMEM((block_b, H), f32),
+            pltpu.VMEM((block_b, D), f32),
+        ],
+        interpret=_interpret(),
+    )
+    x_out, xm_out = kernel(
+        tm(seed_pad).astype(f32), tm(eps).astype(f32), tm(u).astype(f32),
+        enc["kernel"][:D].astype(wt), enc["recurrent_kernel"].astype(wt), encb,
+        wz.astype(wt), bz.astype(f32),
+        wkd_x.astype(wt), dec["kernel"][n_xp : n_xp + L].astype(wt),
+        dec["recurrent_kernel"].astype(wt), decb,
+        wx.astype(wt), bx,
+    )
+    out = xm_out if return_probs else x_out
+    return tm(out)[:, Tseed:]

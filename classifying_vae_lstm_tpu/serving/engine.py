@@ -62,6 +62,16 @@ class GenerationEngine:
         self.stats = {"requests": 0, "songs": 0, "gen_seconds": 0.0, "compiles": 0}
         self._compiled: set = set()
         self._latencies: list = []  # per-request seconds (bounded ring)
+        # fused whole-generation Pallas kernel (weights resident in VMEM):
+        # selected when the checkpoint/serve resolution asked for the pallas
+        # backend and the model fits the kernel's VMEM budget
+        from ..ops import pallas_generate
+
+        self._use_fused_gen = (
+            self.family == "cl_vrnn"
+            and getattr(cfg, "lstm_backend", "xla") == "pallas"
+            and pallas_generate.fits(cfg)
+        )
 
     def _next_key(self):
         with self._lock:
@@ -108,6 +118,8 @@ class GenerationEngine:
         if self.family == "cl_vae":
             return generate_cl_vae_batch(self.params, self.cfg, seeds, t, self._next_key(),
                                          w_vals=ws)
+        # generate_cl_vrnn_batch dispatches to the fused whole-generation
+        # Pallas kernel itself when cfg selects it (see self._use_fused_gen)
         return generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
 
     def _coerce_seed_rolls(self, rolls: np.ndarray) -> np.ndarray:

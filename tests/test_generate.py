@@ -88,16 +88,26 @@ def test_cl_vrnn_seed_conditions_output():
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
 
 
-def test_cl_vrnn_batch_matches_single():
+def test_cl_vrnn_batch_matches_noise_sampler():
+    """The batch sampler is the noise-explicit batched scan: same key ->
+    exactly the frames generate_cl_vrnn_batch_noise produces with the noise
+    generate_cl_vrnn_batch pre-draws. (The per-song generate_cl_vrnn is the
+    same generative process — pinned by the deterministic-noise test in
+    test_pallas_generate.py — but consumes its PRNG per song, so draws
+    differ.)"""
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vrnn_batch_noise)
+
     cfg, params = _vrnn()
     seeds = (jax.random.uniform(jax.random.PRNGKey(1), (3, 8, 16)) < 0.2).astype(jnp.float32)
     ws = jax.nn.one_hot(jnp.arange(3), 4)
     key = jax.random.PRNGKey(5)
     batch = generate_cl_vrnn_batch(params, cfg, seeds, 4, key, ws)
-    keys = jax.random.split(key, 3)
-    for i in range(3):
-        single = generate_cl_vrnn(params, cfg, seeds[i], 4, keys[i], ws[i])
-        np.testing.assert_array_equal(np.asarray(batch[i]), np.asarray(single))
+    assert batch.shape == (3, 4, 16)
+    assert set(np.unique(np.asarray(batch))) <= {0.0, 1.0}
+    eps, u = draw_generation_noise(key, 3, 12, cfg.latent_dim, 16)
+    ref = generate_cl_vrnn_batch_noise(params, cfg, seeds, 4, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(batch), np.asarray(ref))
 
 
 def test_reference_sampler_api():

@@ -1,0 +1,90 @@
+"""Fused whole-generation Pallas kernel vs the noise-explicit XLA sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from classifying_vae_lstm_tpu.models import cl_vrnn
+from classifying_vae_lstm_tpu.ops import pallas_generate
+from classifying_vae_lstm_tpu.sampling.generate import (
+    draw_generation_noise,
+    generate_cl_vrnn_batch_noise,
+)
+
+
+def _setup(use_x_prev=True, B=8, Tseed=6, nsteps=10, H=16, D=12, L=2, K=3):
+    cfg = cl_vrnn.Config(original_dim=D, intermediate_dim=H, latent_dim=L,
+                         seq_length=4, n_classes=K, use_x_prev=use_x_prev)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, Tseed, D)) < 0.2).astype(jnp.float32)
+    ws = jax.nn.one_hot(jnp.arange(B) % K, K).astype(jnp.float32)
+    eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, Tseed + nsteps, L, D)
+    return cfg, params, seeds, ws, eps, u, nsteps
+
+
+@pytest.mark.parametrize("use_x_prev", [True, False])
+def test_fused_generation_matches_xla(use_x_prev):
+    """Same pre-drawn noise -> same frames and same probabilities."""
+    cfg, params, seeds, ws, eps, u, nsteps = _setup(use_x_prev)
+    ref = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
+    got = pallas_generate.generate_cl_vrnn_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    ref_p = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws,
+                                         return_probs=True)
+    got_p = pallas_generate.generate_cl_vrnn_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_generation_tiled_blocks(monkeypatch):
+    """Batch/time-tiled grid: the (h, c, x_prev) scratch carry crosses
+    t-blocks and the seed/free-run boundary falls inside a block."""
+    monkeypatch.setattr(pallas_generate, "_pick_blocks",
+                        lambda B, T, D, H, L, wb: (8, 4))
+    cfg, params, seeds, ws, eps, u, nsteps = _setup(B=16, Tseed=6, nsteps=10)
+    ref = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
+    got = pallas_generate.generate_cl_vrnn_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_noise_sampler_consistent_with_default_sampler():
+    """The noise-explicit sampler is the same generative process as
+    generate_cl_vrnn (statistics, teacher-forcing, feedback): zero noise and
+    u=0.5 make both deterministic, so they must agree frame for frame."""
+    from classifying_vae_lstm_tpu.sampling.generate import generate_cl_vrnn
+
+    cfg, params, seeds, ws, eps, u, nsteps = _setup()
+    eps0 = jnp.zeros_like(eps)
+    uh = jnp.full_like(u, 0.5)
+    got = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps0, uh, ws)
+
+    # per-song scan path with the same deterministic draws, via mocked keys:
+    # z = mean (eps=0) and x = (0.5 < p); reproduce with tiny manual loop
+    B, Tseed, D = seeds.shape
+    for b in range(min(B, 3)):
+        h_e = c_e = h_d = c_d = jnp.zeros((1, cfg.intermediate_dim))
+        x_prev = jnp.zeros((1, D))
+        w_b = ws[b : b + 1]
+        outs = []
+        for t in range(Tseed + nsteps):
+            x_in = seeds[b, t][None] if t < Tseed else x_prev
+            zm, zv, h_e, c_e = cl_vrnn.encode_z_step(params, x_in, w_b, h_e, c_e)
+            xm, h_d, c_d = cl_vrnn.decode_step(
+                params, cfg, zm, w_b, h_d, c_d,
+                x_prev=x_in if cfg.use_x_prev else None)
+            x_t = (0.5 < xm).astype(jnp.float32)
+            x_prev = x_t
+            outs.append(x_t[0])
+        ref_b = jnp.stack(outs)[Tseed:]
+        np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(ref_b))
+
+
+def test_fits_predicate():
+    small = cl_vrnn.Config(intermediate_dim=512, bf16_compute=True)
+    big = cl_vrnn.Config(intermediate_dim=2048, bf16_compute=True)
+    assert pallas_generate.fits(small)
+    assert not pallas_generate.fits(big)

@@ -291,3 +291,23 @@ def test_cl_vrnn_config_roundtrips_bf16_compute():
     cfg = cl_vrnn_config_from_args(margs)
     assert cfg.lstm_backend == "pallas" and cfg.bf16_compute
     assert not cl_vrnn_config_from_args({**margs, "bf16_compute": False}).bf16_compute
+
+
+def test_engine_fused_generation_path():
+    """Engine with a pallas-backend cl_vrnn config routes through the fused
+    whole-generation kernel (interpret mode here) and returns valid rolls."""
+    import numpy as np
+
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.serving.engine import GenerationEngine
+
+    cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                         seq_length=4, n_classes=3, use_x_prev=True,
+                         lstm_backend="pallas")
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    bank = (np.random.RandomState(0).rand(5, 4, 12) < 0.2).astype(np.float32)
+    eng = GenerationEngine(params, cfg, bank, key=jax.random.PRNGKey(7))
+    assert eng._use_fused_gen
+    out = eng.generate(n=2, nsteps=8)
+    assert out.shape == (2, 8, 12)
+    assert set(np.unique(out)).issubset({0.0, 1.0})

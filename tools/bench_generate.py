@@ -1,0 +1,81 @@
+"""Serving-scale generation: vmap-scan vs batched-scan vs fused Pallas kernel.
+
+The fused kernel's claim: under lax.scan XLA re-fetches the weights from HBM
+every timestep; the kernel loads them once into VMEM. Measures songs/sec and
+note-cells/sec at reference size and at scaled serving sizes.
+
+Usage: python tools/bench_generate.py   (real TPU)
+Writes artifacts/generate_bench.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20):
+    import jax
+    import jax.numpy as jnp
+
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.ops.pallas_generate import (
+        fits, generate_cl_vrnn_batch_pallas)
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vrnn_batch,
+        generate_cl_vrnn_batch_noise)
+
+    cfg = cl_vrnn.Config(original_dim=D, intermediate_dim=H, latent_dim=L,
+                         seq_length=16, n_classes=K, use_x_prev=True,
+                         bf16_compute=bf16)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, Tseed, D)) < 0.1).astype(jnp.float32)
+    ws = jax.nn.one_hot(jnp.arange(B) % K, K).astype(jnp.float32)
+    eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, Tseed + nsteps, L, D)
+
+    variants = {
+        "vmap_scan": lambda: generate_cl_vrnn_batch(params, cfg, seeds, nsteps,
+                                                    jax.random.PRNGKey(3), ws),
+        "batched_scan_noise": lambda: generate_cl_vrnn_batch_noise(
+            params, cfg, seeds, nsteps, eps, u, ws),
+    }
+    if fits(cfg):
+        variants["pallas_fused"] = lambda: generate_cl_vrnn_batch_pallas(
+            params, cfg, seeds, nsteps, eps, u, ws)
+
+    rows = []
+    for name, f in variants.items():
+        out = f(); jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        rows.append({
+            "config": f"B{B} seed{Tseed}+{nsteps} H{H} {'bf16' if bf16 else 'f32'}",
+            "variant": name,
+            "ms": round(dt * 1e3, 3),
+            "songs_per_sec": round(B / dt, 1),
+            "note_cells_per_sec": round(B * nsteps * D / dt, 0),
+        })
+        print(json.dumps(rows[-1]))
+    return rows
+
+
+def main():
+    rows = []
+    rows += run(32, 16, 64, 88)                      # reference/demo size
+    rows += run(256, 16, 240, 512, bf16=True)        # scaled serving
+    rows += run(64, 16, 240, 512, bf16=True)         # small batch at scale
+    rows += run(256, 16, 240, 768, bf16=True)        # largest fused size
+    with open(os.path.join(REPO, "artifacts", "generate_bench.json"), "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
