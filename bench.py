@@ -92,15 +92,19 @@ def bench_tpu():
     dt = time.perf_counter() - t0
     steps_per_sec = n_epochs * steps_per_epoch / dt
 
-    # batched generation: 32 songs x 64 steps
+    # batched generation: 32 songs x 64 steps; averaged over queued calls so
+    # the remote-dispatch latency (~30 ms through the axon tunnel) pipelines
+    # instead of dominating a single-call measurement
     seeds = train["x"][:32]
     ws = train["w"][:32]
     gen = generate_cl_vrnn_batch(params, cfg, seeds, 64, jax.random.PRNGKey(9), ws)
     jax.block_until_ready(gen)
+    n_gen = 20
     t0 = time.perf_counter()
-    gen = generate_cl_vrnn_batch(params, cfg, seeds, 64, jax.random.PRNGKey(10), ws)
+    for i in range(n_gen):
+        gen = generate_cl_vrnn_batch(params, cfg, seeds, 64, jax.random.PRNGKey(10 + i), ws)
     jax.block_until_ready(gen)
-    gen_dt = time.perf_counter() - t0
+    gen_dt = (time.perf_counter() - t0) / n_gen
     notes_per_sec = 32 * 64 * DIM / gen_dt
 
     backend = jax.default_backend()

@@ -70,14 +70,55 @@ def generate_cl_vae(params, cfg: cl_vae.Config, x_seed, nsteps: int, key, w_val=
     return xs
 
 
-def generate_cl_vae_batch(params, cfg, x_seeds, nsteps, key, w_vals=None, **kw):
-    """vmap over seeds: [N, D] -> [N, nsteps, D] in one device program."""
-    keys = jax.random.split(key, x_seeds.shape[0])
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "nsteps", "use_z_prior", "return_probs")
+)
+def generate_cl_vae_batch_noise(params, cfg: cl_vae.Config, x_seeds, nsteps: int,
+                                eps, u, ws, use_z_prior: bool = False,
+                                return_probs: bool = False):
+    """Batched cl_vae generation with explicit pre-drawn noise.
+
+    Same math as :func:`generate_cl_vae` batched directly over songs:
+    ``x_seeds [B, D]``, ``eps [B, nsteps, L]`` Gaussian draws for z (used as
+    the prior sample itself under ``use_z_prior``), ``u [B, nsteps, D]``
+    Bernoulli uniforms, ``ws [B, K]`` simplex points. The decoder history
+    input lags one step (``x_prev_t``, reference ``cl_vae/model.py:23,40``).
+    """
+    def step(carry, xs):
+        x_prev, x_prev_t = carry
+        eps_t, u_t = xs
+        z_mean, z_log_var = cl_vae.encode_z(params, cfg, x_prev, ws)
+        z = eps_t if use_z_prior else z_mean + jnp.exp(z_log_var / 2) * eps_t
+        x_mean = cl_vae.decode(params, cfg, ws, z, x_prev_t if cfg.use_x_prev else None)
+        x_t = (u_t < x_mean).astype(x_mean.dtype)
+        return (x_t, x_prev), (x_mean if return_probs else x_t)
+
+    xs_t = (jnp.swapaxes(eps, 0, 1), jnp.swapaxes(u, 0, 1))
+    _, out = jax.lax.scan(step, (x_seeds, x_seeds), xs_t)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def generate_cl_vae_batch(params, cfg, x_seeds, nsteps, key, w_vals=None,
+                          use_z_prior: bool = False, w_sample: bool = False,
+                          return_probs: bool = False):
+    """Batched cl_vae generation: [N, D] -> [N, nsteps, D].
+
+    One batched scan over explicit pre-drawn noise (the vmap-of-per-song-
+    scans form was measured 5x slower at these degenerate [1, D] shapes —
+    `artifacts/generate_bench.json`, cl_vrnn row; same structure here).
+    ``w_vals`` overrides per-song key inference, as in the reference driver.
+    """
+    B = x_seeds.shape[0]
+    kw, kn = jax.random.split(key)
     if w_vals is None:
-        fn = lambda s, k: generate_cl_vae(params, cfg, s, nsteps, k, None, **kw)
-        return jax.vmap(fn)(x_seeds, keys)
-    fn = lambda s, k, w: generate_cl_vae(params, cfg, s, nsteps, k, w, **kw)
-    return jax.vmap(fn)(x_seeds, keys, w_vals)
+        w_mean, w_log_var = cl_vae.encode_w(params, x_seeds)
+        ws = sample_logistic_normal(kw, w_mean, w_log_var, add_noise=w_sample)
+    else:
+        ws = w_vals
+    eps, u = draw_generation_noise(kn, B, nsteps, cfg.latent_dim, cfg.original_dim)
+    return generate_cl_vae_batch_noise(params, cfg, x_seeds, nsteps, eps, u, ws,
+                                       use_z_prior=use_z_prior,
+                                       return_probs=return_probs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "w_sample", "w_discrete"))

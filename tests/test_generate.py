@@ -50,10 +50,37 @@ def test_cl_vae_batch_matches_single():
     seeds = (jax.random.uniform(jax.random.PRNGKey(1), (3, 16)) < 0.2).astype(jnp.float32)
     key = jax.random.PRNGKey(5)
     batch = generate_cl_vae_batch(params, cfg, seeds, 6, key)
-    keys = jax.random.split(key, 3)
-    for i in range(3):
-        single = generate_cl_vae(params, cfg, seeds[i], 6, keys[i])
-        np.testing.assert_array_equal(np.asarray(batch[i]), np.asarray(single))
+    assert batch.shape == (3, 6, 16)
+    assert set(np.unique(np.asarray(batch))) <= {0.0, 1.0}
+    # the batch sampler is the noise-explicit batched scan (same key -> same
+    # frames as generate_cl_vae_batch_noise with the noise it pre-draws);
+    # per-song w inference uses the same encode_w + mean-logit softmax
+    from classifying_vae_lstm_tpu.nn.distributions import sample_logistic_normal
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vae_batch_noise)
+
+    kw, kn = jax.random.split(key)
+    wm, wlv = cl_vae.encode_w(params, seeds)
+    ws = sample_logistic_normal(kw, wm, wlv, add_noise=False)
+    eps, u = draw_generation_noise(kn, 3, 6, cfg.latent_dim, cfg.original_dim)
+    ref = generate_cl_vae_batch_noise(params, cfg, seeds, 6, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(batch), np.asarray(ref))
+
+    # deterministic-noise consistency with the per-song sampler: zero z-noise
+    # and u=0.5 make both paths deterministic -> frame-identical
+    eps0, uh = jnp.zeros_like(eps), jnp.full_like(u, 0.5)
+    got = generate_cl_vae_batch_noise(params, cfg, seeds, 6, eps0, uh, ws)
+    for b in range(3):
+        x_prev, x_prev_t = seeds[b][None], seeds[b][None]
+        outs = []
+        for t in range(6):
+            zm, zv = cl_vae.encode_z(params, cfg, x_prev, ws[b : b + 1])
+            xm = cl_vae.decode(params, cfg, ws[b : b + 1], zm,
+                               x_prev_t if cfg.use_x_prev else None)
+            x_t = (0.5 < xm).astype(jnp.float32)
+            x_prev, x_prev_t = x_t, x_prev
+            outs.append(x_t[0])
+        np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(jnp.stack(outs)))
 
 
 def test_infer_w_is_simplex_and_chunked():
