@@ -70,6 +70,27 @@ def fits(cfg) -> bool:
     return _weight_bytes(D, H, L, wt_bytes) < _BUDGET - int(2.5 * 1024 * 1024)
 
 
+# test hook: lets the CPU-mesh tests exercise the fused path in interpret
+# mode even though production dispatch requires a real TPU
+FORCE_OFF_TPU = False
+
+
+def should_use(cfg, batch_size: int) -> bool:
+    """Production dispatch predicate for the fused generation kernel.
+
+    True when the config selected the pallas backend, the weights fit VMEM,
+    the batch has a blockable divisor (<= 256), and a real TPU is attached —
+    off-TPU the kernel would run in interpret mode, orders of magnitude
+    slower than the XLA scan fallback.
+    """
+    if getattr(cfg, "lstm_backend", "xla") != "pallas" or not fits(cfg):
+        return False
+    if not any(batch_size % d == 0 and (d % 8 == 0 or d == batch_size)
+               for d in range(1, min(batch_size, 256) + 1)):
+        return False
+    return jax.default_backend() == "tpu" or FORCE_OFF_TPU
+
+
 def _pick_blocks(B: int, T: int, D: int, H: int, L: int, wt_bytes: int):
     wcost = _weight_bytes(D, H, L, wt_bytes)
     stream = (4 * D + L) * 4  # seed + u + x_out + xm_out (D each) + eps (L), f32
@@ -83,6 +104,8 @@ def _pick_blocks(B: int, T: int, D: int, H: int, L: int, wt_bytes: int):
         for bt in t_divs:
             if fixed + 2 * (bt * bb * stream) < _BUDGET:
                 return bb, bt
+    # unreachable under should_use() (fits + blockable batch checked there);
+    # smallest blocks as a best effort for direct callers
     return b_divs[-1], t_divs[-1]
 
 

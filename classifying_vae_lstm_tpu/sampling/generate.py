@@ -84,6 +84,10 @@ def generate_cl_vae_batch_noise(params, cfg: cl_vae.Config, x_seeds, nsteps: int
     Bernoulli uniforms, ``ws [B, K]`` simplex points. The decoder history
     input lags one step (``x_prev_t``, reference ``cl_vae/model.py:23,40``).
     """
+    if eps.shape[1] != nsteps or u.shape[1] != nsteps:
+        raise ValueError(
+            f"noise drawn for {eps.shape[1]}/{u.shape[1]} steps, nsteps={nsteps}")
+
     def step(carry, xs):
         x_prev, x_prev_t = carry
         eps_t, u_t = xs
@@ -192,12 +196,11 @@ def generate_cl_vrnn_batch(params, cfg, x_seeds, nsteps, key, ws):
     """
     B, Tseed, D = x_seeds.shape
     eps, u = draw_generation_noise(key, B, Tseed + nsteps, cfg.latent_dim, D)
-    if cfg.lstm_backend == "pallas":
-        from ..ops import pallas_generate
+    from ..ops import pallas_generate
 
-        if pallas_generate.fits(cfg):
-            return pallas_generate.generate_cl_vrnn_batch_pallas(
-                params, cfg, x_seeds, nsteps, eps, u, ws)
+    if pallas_generate.should_use(cfg, B):
+        return pallas_generate.generate_cl_vrnn_batch_pallas(
+            params, cfg, x_seeds, nsteps, eps, u, ws)
     return generate_cl_vrnn_batch_noise(params, cfg, x_seeds, nsteps, eps, u, ws)
 
 

@@ -63,15 +63,12 @@ class GenerationEngine:
         self._compiled: set = set()
         self._latencies: list = []  # per-request seconds (bounded ring)
         # fused whole-generation Pallas kernel (weights resident in VMEM):
-        # selected when the checkpoint/serve resolution asked for the pallas
-        # backend and the model fits the kernel's VMEM budget
+        # generate_cl_vrnn_batch dispatches to it per-request via the same
+        # predicate; this attribute just surfaces the decision for /stats
         from ..ops import pallas_generate
 
-        self._use_fused_gen = (
-            self.family == "cl_vrnn"
-            and getattr(cfg, "lstm_backend", "xla") == "pallas"
-            and pallas_generate.fits(cfg)
-        )
+        self._use_fused_gen = self.family == "cl_vrnn" and pallas_generate.should_use(
+            cfg, self.BATCH_BUCKETS[-1])
 
     def _next_key(self):
         with self._lock:

@@ -45,7 +45,7 @@ def test_cl_vae_w_val_conditions_generation():
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
 
 
-def test_cl_vae_batch_matches_single():
+def test_cl_vae_batch_is_noise_explicit_scan():
     cfg, params = _vae()
     seeds = (jax.random.uniform(jax.random.PRNGKey(1), (3, 16)) < 0.2).astype(jnp.float32)
     key = jax.random.PRNGKey(5)

@@ -293,14 +293,17 @@ def test_cl_vrnn_config_roundtrips_bf16_compute():
     assert not cl_vrnn_config_from_args({**margs, "bf16_compute": False}).bf16_compute
 
 
-def test_engine_fused_generation_path():
+def test_engine_fused_generation_path(monkeypatch):
     """Engine with a pallas-backend cl_vrnn config routes through the fused
-    whole-generation kernel (interpret mode here) and returns valid rolls."""
+    whole-generation kernel (interpret mode here, enabled via the test hook —
+    production dispatch requires a real TPU) and returns valid rolls."""
     import numpy as np
 
     from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.ops import pallas_generate
     from classifying_vae_lstm_tpu.serving.engine import GenerationEngine
 
+    monkeypatch.setattr(pallas_generate, "FORCE_OFF_TPU", True)
     cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
                          seq_length=4, n_classes=3, use_x_prev=True,
                          lstm_backend="pallas")
@@ -311,3 +314,8 @@ def test_engine_fused_generation_path():
     out = eng.generate(n=2, nsteps=8)
     assert out.shape == (2, 8, 12)
     assert set(np.unique(out)).issubset({0.0, 1.0})
+
+    # off-TPU without the hook, dispatch falls back to the XLA scan (the
+    # interpreted kernel would be orders of magnitude slower than the scan)
+    monkeypatch.setattr(pallas_generate, "FORCE_OFF_TPU", False)
+    assert not pallas_generate.should_use(cfg, 64)

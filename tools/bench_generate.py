@@ -27,8 +27,7 @@ def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20):
     from classifying_vae_lstm_tpu.ops.pallas_generate import (
         fits, generate_cl_vrnn_batch_pallas)
     from classifying_vae_lstm_tpu.sampling.generate import (
-        draw_generation_noise, generate_cl_vrnn_batch,
-        generate_cl_vrnn_batch_noise)
+        draw_generation_noise, generate_cl_vrnn, generate_cl_vrnn_batch_noise)
 
     cfg = cl_vrnn.Config(original_dim=D, intermediate_dim=H, latent_dim=L,
                          seq_length=16, n_classes=K, use_x_prev=True,
@@ -38,9 +37,16 @@ def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20):
     ws = jax.nn.one_hot(jnp.arange(B) % K, K).astype(jnp.float32)
     eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, Tseed + nsteps, L, D)
 
+    # the round-1 vmap-of-per-song-scans form, kept HERE (the shipping batch
+    # sampler was rewritten to the batched scan) so the comparison that
+    # motivated the rewrite stays reproducible
+    def vmap_scan():
+        keys = jax.random.split(jax.random.PRNGKey(3), B)
+        fn = lambda s, k, w: generate_cl_vrnn(params, cfg, s, nsteps, k, w)
+        return jax.vmap(fn)(seeds, keys, ws)
+
     variants = {
-        "vmap_scan": lambda: generate_cl_vrnn_batch(params, cfg, seeds, nsteps,
-                                                    jax.random.PRNGKey(3), ws),
+        "vmap_scan": vmap_scan,
         "batched_scan_noise": lambda: generate_cl_vrnn_batch_noise(
             params, cfg, seeds, nsteps, eps, u, ws),
     }
