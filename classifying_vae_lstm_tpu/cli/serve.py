@@ -47,7 +47,12 @@ def build_engine(args) -> tuple[GenerationEngine, dict]:
     seeds = P.x_test[:, 0] if family == "cl_vae" and P.x_test.ndim == 3 else P.x_test
     if family == "cl_vae" and seeds.ndim == 3:
         seeds = seeds[:, 0]
-    engine = GenerationEngine(params, cfg, seeds, P.test_song_keys)
+    mesh = None
+    if getattr(args, "dp", 1) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_model=1)
+    engine = GenerationEngine(params, cfg, seeds, P.test_song_keys, mesh=mesh)
     key_map = dict(P.key_map)
     return engine, key_map
 
@@ -171,6 +176,9 @@ def build_parser():
     parser.add_argument("--lstm_backend", type=str, default="auto",
                         choices=["auto", "keep", "xla", "pallas"],
                         help="'auto' = Pallas fused kernel + bf16 at hidden>=512 on TPU")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="shard cl_vrnn generation over N devices "
+                             "(data axis; extension)")
     parser.add_argument("--warmup", type=str, default="full",
                         choices=["full", "background", "off"],
                         help="pre-compile the bucket grid: 'full' blocks until every "

@@ -110,6 +110,10 @@ def lstm_sequence(
     if backend == "pallas":
         if dropout > 0 and dropout_key is not None:
             raise ValueError("dropout is not supported on the pallas backend")
+        if remat:
+            # the kernel's residuals (z/h/c streams) are already its memory
+            # plan; silently ignoring the flag would misreport memory behavior
+            raise ValueError("remat is not supported on the pallas backend")
         from .pallas_lstm import lstm_sequence_pallas
 
         return lstm_sequence_pallas(params, x, h0, c0, compute_dtype=compute_dtype)

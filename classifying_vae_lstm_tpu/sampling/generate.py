@@ -249,3 +249,42 @@ def draw_generation_noise(key, B: int, total: int, latent_dim: int, D: int):
     ke, ku = jax.random.split(key)
     return (jax.random.normal(ke, (B, total, latent_dim)),
             jax.random.uniform(ku, (B, total, D)))
+
+
+def generate_cl_vrnn_batch_dp(params, cfg, x_seeds, nsteps: int, key, ws, mesh):
+    """Data-parallel batched generation over a device mesh.
+
+    Songs shard over the mesh's ``'data'`` axis via ``jax.shard_map`` — the
+    sampler is embarrassingly parallel across songs, so the per-device program
+    has ZERO collectives; params replicate, each device generates its shard.
+    Because the noise is pre-drawn globally and sharded with the songs, the
+    output is EXACTLY what the single-device sampler produces for the same key
+    (tested on the 8-device CPU mesh). Inside ``shard_map`` every device sees
+    its local shard shapes, so this composes with the fused Pallas generation
+    kernel (:mod:`..ops.pallas_generate`) — the multi-chip serving story.
+
+    ``x_seeds.shape[0]`` must divide by the data-axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops import pallas_generate
+
+    B, Tseed, D = x_seeds.shape
+    n_data = mesh.shape["data"]
+    if B % n_data != 0:
+        raise ValueError(f"batch {B} not divisible by data axis {n_data}")
+    eps, u = draw_generation_noise(key, B, Tseed + nsteps, cfg.latent_dim, D)
+    use_fused = pallas_generate.should_use(cfg, B // n_data)
+
+    def per_device(params, seeds, eps, u, ws):
+        if use_fused:
+            return pallas_generate.generate_cl_vrnn_batch_pallas(
+                params, cfg, seeds, nsteps, eps, u, ws)
+        return generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
+
+    repl, shard = P(), P("data")
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(repl, shard, shard, shard, shard),
+                       out_specs=shard, check_vma=False)
+    params = jax.device_put(params, NamedSharding(mesh, repl))
+    return fn(params, x_seeds, eps, u, ws)

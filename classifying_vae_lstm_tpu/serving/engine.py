@@ -48,12 +48,16 @@ class GenerationEngine:
     STEP_BUCKETS = (32, 64, 128, 256)
 
     def __init__(self, params, cfg, seed_bank: np.ndarray,
-                 seed_keys: np.ndarray | None = None, key=None):
+                 seed_keys: np.ndarray | None = None, key=None, mesh=None):
         """seed_bank: [N, Tseed, D] (cl_vrnn) or [N, D] (cl_vae) test-set
         seeds; seed_keys: optional integer key label per seed (for
-        key-conditioned requests and true-key conditioning)."""
+        key-conditioned requests and true-key conditioning); mesh: optional
+        device mesh — cl_vrnn generation shards songs over its 'data' axis
+        (embarrassingly parallel, zero collectives; composes with the fused
+        Pallas kernel inside shard_map)."""
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
         self.family = "cl_vae" if isinstance(cfg, cl_vae.Config) else "cl_vrnn"
         self.seed_bank = np.asarray(seed_bank, dtype=np.float32)
         self.seed_keys = seed_keys
@@ -117,6 +121,11 @@ class GenerationEngine:
                                          w_vals=ws)
         # generate_cl_vrnn_batch dispatches to the fused whole-generation
         # Pallas kernel itself when cfg selects it (see self._use_fused_gen)
+        if self.mesh is not None and seeds.shape[0] % self.mesh.shape["data"] == 0:
+            from ..sampling.generate import generate_cl_vrnn_batch_dp
+
+            return generate_cl_vrnn_batch_dp(
+                self.params, self.cfg, seeds, t, self._next_key(), ws, self.mesh)
         return generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
 
     def _coerce_seed_rolls(self, rolls: np.ndarray) -> np.ndarray:

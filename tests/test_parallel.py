@@ -222,3 +222,37 @@ def test_shard_map_dp_composes_with_pallas_backend():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         p_dp, p_ref,
     )
+
+
+def test_dp_generation_matches_single_device(monkeypatch):
+    """Sharded generation == single-device generation, exactly (the noise is
+    drawn globally and sharded with the songs); also composes with the fused
+    Pallas generation kernel inside shard_map."""
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.ops import pallas_generate
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vrnn_batch_dp,
+        generate_cl_vrnn_batch_noise)
+
+    cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                         seq_length=4, n_classes=3, use_x_prev=True)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    B, Tseed, nsteps = 16, 4, 6
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, Tseed, 12)) < 0.2).astype(jnp.float32)
+    ws = jax.nn.one_hot(jnp.arange(B) % 3, 3).astype(jnp.float32)
+    key = jax.random.PRNGKey(2)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    got = generate_cl_vrnn_batch_dp(params, cfg, seeds, nsteps, key, ws, mesh)
+    eps, u = draw_generation_noise(key, B, Tseed + nsteps, 2, 12)
+    ref = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # fused pallas kernel inside shard_map (interpret mode via the test hook)
+    monkeypatch.setattr(pallas_generate, "FORCE_OFF_TPU", True)
+    cfg_p = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                           seq_length=4, n_classes=3, use_x_prev=True,
+                           lstm_backend="pallas")
+    assert pallas_generate.should_use(cfg_p, B // 8)
+    got_p = generate_cl_vrnn_batch_dp(params, cfg_p, seeds, nsteps, key, ws, mesh)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref))

@@ -319,3 +319,24 @@ def test_engine_fused_generation_path(monkeypatch):
     # interpreted kernel would be orders of magnitude slower than the scan)
     monkeypatch.setattr(pallas_generate, "FORCE_OFF_TPU", False)
     assert not pallas_generate.should_use(cfg, 64)
+
+
+def test_engine_dp_mesh_generation():
+    """Engine with a mesh shards cl_vrnn generation over the data axis and
+    falls back to single-device when the bucket doesn't divide."""
+    import numpy as np
+
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.parallel import make_mesh
+    from classifying_vae_lstm_tpu.serving.engine import GenerationEngine
+
+    cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                         seq_length=4, n_classes=3, use_x_prev=True)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    bank = (np.random.RandomState(0).rand(8, 4, 12) < 0.2).astype(np.float32)
+    mesh = make_mesh(n_data=8, n_model=1)
+    eng = GenerationEngine(params, cfg, bank, key=jax.random.PRNGKey(7), mesh=mesh)
+    out = eng.generate(n=16, nsteps=32)  # bucket 16 divides by 8
+    assert out.shape == (16, 32, 12)
+    out1 = eng.generate(n=1, nsteps=32)  # bucket 1 doesn't divide -> fallback
+    assert out1.shape == (1, 32, 12)
