@@ -79,14 +79,12 @@ def should_use(cfg, batch_size: int) -> bool:
     """Production dispatch predicate for the fused generation kernel.
 
     True when the config selected the pallas backend, the weights fit VMEM,
-    the batch has a blockable divisor (<= 256), and a real TPU is attached —
-    off-TPU the kernel would run in interpret mode, orders of magnitude
-    slower than the XLA scan fallback.
+    and a real TPU is attached — off-TPU the kernel would run in interpret
+    mode, orders of magnitude slower than the XLA scan fallback. (Any batch
+    is blockable: batch blocks pad via a cdiv grid.)
     """
+    del batch_size
     if getattr(cfg, "lstm_backend", "xla") != "pallas" or not fits(cfg):
-        return False
-    if not any(batch_size % d == 0 and (d % 8 == 0 or d == batch_size)
-               for d in range(1, min(batch_size, 256) + 1)):
         return False
     return jax.default_backend() == "tpu" or FORCE_OFF_TPU
 
@@ -94,19 +92,23 @@ def should_use(cfg, batch_size: int) -> bool:
 def _pick_blocks(B: int, T: int, D: int, H: int, L: int, wt_bytes: int):
     wcost = _weight_bytes(D, H, L, wt_bytes)
     stream = (4 * D + L) * 4  # seed + u + x_out + xm_out (D each) + eps (L), f32
-    b_divs = sorted((d for d in range(1, B + 1)
-                     if B % d == 0 and (d % 8 == 0 or d == B)), reverse=True)
+    # batch blocks need not divide B (rows independent; padded cdiv grid);
+    # time blocks must divide T so the sequential scratch carry sees no
+    # padded steps before real ones
+    divs = (d for d in range(1, B + 1) if B % d == 0 and (d % 8 == 0 or d == B))
+    pows = (p for p in (256, 128, 64, 32, 16, 8) if p < B)
+    b_cands = sorted(set(divs) | set(pows), reverse=True)
     t_divs = sorted((d for d in range(1, T + 1) if T % d == 0), reverse=True)
-    for bb in b_divs:
+    for bb in b_cands:
         if bb > 256:
             continue
         fixed = wcost + 2 * bb * 4 * H * 4 + 4 * bb * (4 * H + D)  # song proj + scratch
         for bt in t_divs:
             if fixed + 2 * (bt * bb * stream) < _BUDGET:
                 return bb, bt
-    # unreachable under should_use() (fits + blockable batch checked there);
+    # unreachable under should_use() (fits() bounds the weight cost);
     # smallest blocks as a best effort for direct callers
-    return b_divs[-1], t_divs[-1]
+    return min(8, B), t_divs[-1]
 
 
 def _make_kernel(Tseed: int, block_t: int, H: int, L: int, use_x_prev: bool, wt):

@@ -221,16 +221,26 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
     budget = 14 * 1024 * 1024
     rk_cost = H * 4 * H * rk_bytes_per_el
     scratch = lambda bb: 4 * 2 * bb * H
+    # time blocks must DIVIDE T: in the backward kernel the reversed grid
+    # processes the last time block first, so a padded time tail would feed
+    # garbage into the (dh, dc) scratch carry before the real steps
     t_divs = sorted((d for d in range(1, T + 1) if T % d == 0), reverse=True)
     # single-block fast path: grid (1,), nothing double-buffered (round-1
     # regime — B=200 whole-batch fits and runs fastest)
     if rk_cost + T * B * stream_bytes * H + scratch(B) < budget:
         return B, None
 
+    def candidates(sub):
+        # batch blocks need NOT divide B: rows are independent in every
+        # kernel (matmuls/gates are row-wise), so a padded cdiv grid is
+        # harmless — this is what keeps e.g. B=500 (no 8-aligned divisor)
+        # inside the VMEM budget instead of falling back to one 500-row block
+        divs = (d for d in range(1, B + 1) if B % d == 0 and (d % sub == 0 or d == B))
+        pows = (p for p in (256, 128, 64, 32, 16, 8) if p < B and p % sub == 0)
+        return sorted(set(divs) | set(pows), reverse=True)
+
     def search(sub):
-        b_divs = sorted((d for d in range(1, B + 1)
-                         if B % d == 0 and (d % sub == 0 or d == B)), reverse=True)
-        for bb in b_divs:
+        for bb in candidates(sub):
             if bb > 256:
                 continue
             if rk_cost + 2 * (T * bb * stream_bytes * H) + scratch(bb) < budget:
@@ -246,9 +256,7 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
         got = search(sub)
         if got is not None:
             return got
-    b_divs = sorted((d for d in range(1, B + 1)
-                     if B % d == 0 and (d % 8 == 0 or d == B)), reverse=True)
-    return b_divs[-1], t_divs[-1]
+    return min(8, B), t_divs[-1]
 
 
 def _lstm_seq_train_kernel(xz_ref, rk_ref, h0_ref, c0_ref,

@@ -88,3 +88,15 @@ def test_fits_predicate():
     big = cl_vrnn.Config(intermediate_dim=2048, bf16_compute=True)
     assert pallas_generate.fits(small)
     assert not pallas_generate.fits(big)
+
+
+def test_fused_generation_padded_batch_blocks(monkeypatch):
+    """Non-divisible batch: the cdiv grid pads the last batch block; padded
+    rows never contaminate real songs."""
+    monkeypatch.setattr(pallas_generate, "_pick_blocks",
+                        lambda B, T, D, H, L, wb: (8, 2))
+    cfg, params, seeds, ws, eps, u, nsteps = _setup(B=20, Tseed=6, nsteps=10)
+    ref = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
+    got = pallas_generate.generate_cl_vrnn_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

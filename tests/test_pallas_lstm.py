@@ -184,3 +184,30 @@ def test_gradients_bf16_tblocked(monkeypatch):
     for k in ga:
         a, b = np.asarray(ga[k], np.float32), np.asarray(gb[k], np.float32)
         assert np.all(np.abs(a - b) <= 0.05 * np.abs(a).max() + 1e-4), k
+
+
+def test_padded_batch_blocks_match_xla(monkeypatch):
+    """block_b need not divide B: the cdiv grid pads the last batch block
+    (rows are independent) — this is what keeps batches like the reference's
+    500 (no 8-aligned divisor) inside the VMEM budget on real TPUs."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (8, 2),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))  # 20 % 8 != 0
+
+    def loss(p, backend):
+        h, _ = lstm_sequence(p, x, backend=backend)
+        return jnp.mean(h**2)
+
+    a, _ = lstm_sequence(p, x, backend="xla")
+    b, _ = lstm_sequence(p, x, backend="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    ga = jax.grad(loss)(p, "xla")
+    gb = jax.grad(loss)(p, "pallas")
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   rtol=1e-4, atol=1e-5)
