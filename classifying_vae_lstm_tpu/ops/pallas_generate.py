@@ -61,13 +61,38 @@ def _weight_bytes(D: int, H: int, L: int, wt_bytes: int) -> int:
     )
 
 
+def pick_mode(cfg) -> str | None:
+    """Weight precision for the fused kernel, or None if nothing fits VMEM.
+
+    bf16 checkpoints escalate to INT8 weights when bf16 doesn't fit (both
+    recurrent kernels resident at hidden 1024 need 16 MB bf16 but 8 MB int8).
+    The kernel's activations make int8 nearly free in accuracy: frames are
+    binary (exact int8), h is tanh*sigmoid-bounded in (-1, 1) (fixed scale
+    127), and the z path bypasses matmuls entirely — so the only error is the
+    per-column weight rounding, <=0.4% of each column's max, the same order
+    as bf16 rounding. f32 checkpoints never quantize (parity path).
+    """
+    limit = _BUDGET - int(2.5 * 1024 * 1024)
+    D, H, L = cfg.original_dim, cfg.intermediate_dim, cfg.latent_dim
+    if cfg.bf16_compute:
+        if _weight_bytes(D, H, L, 2) < limit:
+            return "bf16"
+        if _weight_bytes(D, H, L, 1) < limit:
+            return "int8"
+        return None
+    return "f32" if _weight_bytes(D, H, L, 4) < limit else None
+
+
 def fits(cfg) -> bool:
     """Can the fused generation kernel hold this model's weights in VMEM?"""
-    wt_bytes = 2 if cfg.bf16_compute else 4
-    D, H, L = cfg.original_dim, cfg.intermediate_dim, cfg.latent_dim
-    # leave room for per-song [bb, 4H] projections, scratch, and streams
-    # (2.5 MB suffices at block_b 16; _pick_blocks shrinks blocks to fit)
-    return _weight_bytes(D, H, L, wt_bytes) < _BUDGET - int(2.5 * 1024 * 1024)
+    return pick_mode(cfg) is not None
+
+
+def _quant_cols(w):
+    """Per-output-column symmetric int8 quantization: (q [in, out] int8,
+    scale [1, out] f32) with w ~= q * scale."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0, 1e-12)
+    return jnp.round(w / s).astype(jnp.int8), s.astype(jnp.float32)
 
 
 # test hook: lets the CPU-mesh tests exercise the fused path in interpret
@@ -169,6 +194,73 @@ def _make_kernel(Tseed: int, block_t: int, H: int, L: int, use_x_prev: bool, wt)
     return kernel
 
 
+def _make_kernel_int8(Tseed: int, block_t: int, H: int, L: int, use_x_prev: bool):
+    """Int8-weight variant: the five large weights arrive as int8 with
+    per-column f32 scales; matmuls run int8 x int8 -> int32 on the MXU (2x
+    bf16 throughput on v5e) and dequantize once per output column. Inputs
+    are exact or fixed-scale: x is binary, h = round(h * 127) / 127."""
+    f32 = jnp.float32
+    i8, i32 = jnp.int8, jnp.int32
+
+    def qmm(a_q, w_ref, s_ref, inv=1.0):
+        acc = jnp.dot(a_q, w_ref[:], preferred_element_type=i32)
+        return acc.astype(f32) * (s_ref[:] * inv)
+
+    def kernel(seed_ref, eps_ref, u_ref,
+               wke_x_ref, ske_ref, rke_ref, srke_ref, encb_ref,
+               wz_ref, bz_ref,
+               wkd_x_ref, skd_ref, wkd_z_ref, rkd_ref, srkd_ref, decb_ref,
+               wx_ref, swx_ref, bx_ref,
+               x_out_ref, xm_out_ref,
+               he_scr, ce_scr, hd_scr, cd_scr, xprev_scr):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            he_scr[:] = jnp.zeros_like(he_scr)
+            ce_scr[:] = jnp.zeros_like(ce_scr)
+            hd_scr[:] = jnp.zeros_like(hd_scr)
+            cd_scr[:] = jnp.zeros_like(cd_scr)
+            xprev_scr[:] = jnp.zeros_like(xprev_scr)
+
+        t0 = pl.program_id(1) * block_t
+        inv127 = 1.0 / 127.0
+
+        def step(s, _):
+            tg = t0 + s
+            x_in = jnp.where(tg < Tseed, seed_ref[s], xprev_scr[:])
+            x_q = x_in.astype(i8)  # binary frames: exact int8
+            h_q = jnp.round(he_scr[:] * 127.0).astype(i8)  # h in (-1, 1)
+            z_e = qmm(x_q, wke_x_ref, ske_ref) + encb_ref[:] \
+                + qmm(h_q, rke_ref, srke_ref, inv127)
+            h_e, c_e = _gates(z_e, ce_scr[:], H)
+            he_scr[:] = h_e
+            ce_scr[:] = c_e
+            # z heads stay bf16 (tiny [H, 128]; zv feeds an exp)
+            zmv = jnp.dot(h_e.astype(jnp.bfloat16), wz_ref[:],
+                          preferred_element_type=f32) + bz_ref[:]
+            z = zmv[:, :L] + jnp.exp(zmv[:, L : 2 * L] / 2) * eps_ref[s]
+            hd_q = jnp.round(hd_scr[:] * 127.0).astype(i8)
+            z_d = decb_ref[:] + qmm(hd_q, rkd_ref, srkd_ref, inv127)
+            for l in range(L):
+                z_d = z_d + z[:, l : l + 1] * wkd_z_ref[l : l + 1]
+            if use_x_prev:
+                z_d = z_d + qmm(x_q, wkd_x_ref, skd_ref)
+            h_d, c_d = _gates(z_d, cd_scr[:], H)
+            hd_scr[:] = h_d
+            cd_scr[:] = c_d
+            D = xprev_scr.shape[-1]
+            hd2_q = jnp.round(h_d * 127.0).astype(i8)
+            xm = jax.nn.sigmoid(qmm(hd2_q, wx_ref, swx_ref, inv127) + bx_ref[:])[:, :D]
+            x_t = (u_ref[s] < xm).astype(f32)
+            xprev_scr[:] = x_t
+            x_out_ref[s] = x_t
+            xm_out_ref[s] = xm
+            return 0
+
+        jax.lax.fori_loop(0, block_t, step, 0)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "return_probs"))
 def generate_cl_vrnn_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
                                   return_probs: bool = False):
@@ -180,9 +272,11 @@ def generate_cl_vrnn_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
     B, Tseed, D = x_seeds.shape
     H, L = cfg.intermediate_dim, cfg.latent_dim
     total = Tseed + nsteps
-    wt = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
+    mode = pick_mode(cfg)
+    if mode is None:
+        raise ValueError("model does not fit the fused generation kernel's VMEM budget")
+    wt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[mode]
     f32 = jnp.float32
-    prec = "highest" if wt == f32 else None
 
     enc, dec = params["encoder_h"], params["decoder_h"]
     n_xp = D if cfg.use_x_prev else 0
@@ -218,46 +312,83 @@ def generate_cl_vrnn_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
     const = lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
     song = lambda c: pl.BlockSpec((block_b, c), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
 
-    kernel = pl.pallas_call(
-        _make_kernel(Tseed, block_t, H, L, cfg.use_x_prev, wt),
-        grid=(nb, nt),
-        in_specs=[
-            t_spec(D),               # seed
-            t_spec(L),               # eps
-            t_spec(D),               # u
-            const(D, 4 * H),         # enc x-kernel
-            const(H, 4 * H),         # enc recurrent
-            song(4 * H),             # encb (w rows + bias, per song)
-            const(H, 128),           # z heads packed (lane-padded)
-            const(1, 128),           # z bias
-            const(D, 4 * H),         # dec x rows
-            const(L, 4 * H),         # dec z rows
-            const(H, 4 * H),         # dec recurrent
-            song(4 * H),             # decb
-            const(H, Dp),            # frame head (lane-padded)
-            const(1, Dp),            # frame bias
-        ],
-        out_specs=(t_spec(D), t_spec(D)),
-        out_shape=(
-            jax.ShapeDtypeStruct((total, B, D), f32),
-            jax.ShapeDtypeStruct((total, B, D), f32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_b, H), f32),
-            pltpu.VMEM((block_b, H), f32),
-            pltpu.VMEM((block_b, H), f32),
-            pltpu.VMEM((block_b, H), f32),
-            pltpu.VMEM((block_b, D), f32),
-        ],
-        interpret=_interpret(),
+    out_specs = (t_spec(D), t_spec(D))
+    out_shape = (
+        jax.ShapeDtypeStruct((total, B, D), f32),
+        jax.ShapeDtypeStruct((total, B, D), f32),
     )
-    x_out, xm_out = kernel(
-        tm(seed_pad).astype(f32), tm(eps).astype(f32), tm(u).astype(f32),
-        enc["kernel"][:D].astype(wt), enc["recurrent_kernel"].astype(wt), encb,
-        wz.astype(wt), bz.astype(f32),
-        wkd_x.astype(wt), dec["kernel"][n_xp : n_xp + L].astype(wt),
-        dec["recurrent_kernel"].astype(wt), decb,
-        wx.astype(wt), bx,
-    )
+    scratch = [
+        pltpu.VMEM((block_b, H), f32),
+        pltpu.VMEM((block_b, H), f32),
+        pltpu.VMEM((block_b, H), f32),
+        pltpu.VMEM((block_b, H), f32),
+        pltpu.VMEM((block_b, D), f32),
+    ]
+    streams = (tm(seed_pad).astype(f32), tm(eps).astype(f32), tm(u).astype(f32))
+
+    if mode == "int8":
+        wke_q, ske = _quant_cols(enc["kernel"][:D])
+        rke_q, srke = _quant_cols(enc["recurrent_kernel"])
+        wkd_q, skd = _quant_cols(wkd_x)
+        rkd_q, srkd = _quant_cols(dec["recurrent_kernel"])
+        wx_q, swx = _quant_cols(wx)
+        kernel = pl.pallas_call(
+            _make_kernel_int8(Tseed, block_t, H, L, cfg.use_x_prev),
+            grid=(nb, nt),
+            in_specs=[
+                t_spec(D), t_spec(L), t_spec(D),
+                const(D, 4 * H), const(1, 4 * H),    # enc x-kernel + scales
+                const(H, 4 * H), const(1, 4 * H),    # enc recurrent + scales
+                song(4 * H),                         # encb
+                const(H, 128), const(1, 128),        # z heads (bf16) + bias
+                const(D, 4 * H), const(1, 4 * H),    # dec x rows + scales
+                const(L, 4 * H),                     # dec z rows (f32)
+                const(H, 4 * H), const(1, 4 * H),    # dec recurrent + scales
+                song(4 * H),                         # decb
+                const(H, Dp), const(1, Dp),          # frame head + scales
+                const(1, Dp),                        # frame bias
+            ],
+            out_specs=out_specs, out_shape=out_shape, scratch_shapes=scratch,
+            interpret=_interpret(),
+        )
+        x_out, xm_out = kernel(
+            *streams,
+            wke_q, ske, rke_q, srke, encb,
+            wz.astype(jnp.bfloat16), bz,
+            wkd_q, skd, dec["kernel"][n_xp : n_xp + L].astype(f32),
+            rkd_q, srkd, decb,
+            wx_q, swx, bx,
+        )
+    else:
+        kernel = pl.pallas_call(
+            _make_kernel(Tseed, block_t, H, L, cfg.use_x_prev, wt),
+            grid=(nb, nt),
+            in_specs=[
+                t_spec(D),               # seed
+                t_spec(L),               # eps
+                t_spec(D),               # u
+                const(D, 4 * H),         # enc x-kernel
+                const(H, 4 * H),         # enc recurrent
+                song(4 * H),             # encb (w rows + bias, per song)
+                const(H, 128),           # z heads packed (lane-padded)
+                const(1, 128),           # z bias
+                const(D, 4 * H),         # dec x rows
+                const(L, 4 * H),         # dec z rows
+                const(H, 4 * H),         # dec recurrent
+                song(4 * H),             # decb
+                const(H, Dp),            # frame head (lane-padded)
+                const(1, Dp),            # frame bias
+            ],
+            out_specs=out_specs, out_shape=out_shape, scratch_shapes=scratch,
+            interpret=_interpret(),
+        )
+        x_out, xm_out = kernel(
+            *streams,
+            enc["kernel"][:D].astype(wt), enc["recurrent_kernel"].astype(wt), encb,
+            wz.astype(wt), bz.astype(f32),
+            wkd_x.astype(wt), dec["kernel"][n_xp : n_xp + L].astype(wt),
+            dec["recurrent_kernel"].astype(wt), decb,
+            wx.astype(wt), bx,
+        )
     out = xm_out if return_probs else x_out
     return tm(out)[:, Tseed:]

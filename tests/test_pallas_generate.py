@@ -100,3 +100,27 @@ def test_fused_generation_padded_batch_blocks(monkeypatch):
     got = pallas_generate.generate_cl_vrnn_batch_pallas(
         params, cfg, seeds, nsteps, eps, u, ws)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pick_mode_escalation():
+    mk = lambda h, bf16: cl_vrnn.Config(intermediate_dim=h, bf16_compute=bf16)
+    assert pallas_generate.pick_mode(mk(512, True)) == "bf16"
+    assert pallas_generate.pick_mode(mk(1024, True)) == "int8"
+    assert pallas_generate.pick_mode(mk(2048, True)) is None
+    assert pallas_generate.pick_mode(mk(256, False)) == "f32"
+
+
+def test_fused_generation_int8_mode(monkeypatch):
+    """Int8-weight mode: per-column quantization error is bf16-order, so the
+    probabilities track the f32 XLA sampler closely and frames stay valid."""
+    monkeypatch.setattr(pallas_generate, "pick_mode", lambda cfg: "int8")
+    cfg, params, seeds, ws, eps, u, nsteps = _setup(B=8, Tseed=6, nsteps=12)
+    ref_p = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws,
+                                         return_probs=True)
+    got_p = pallas_generate.generate_cl_vrnn_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True)
+    d = np.abs(np.asarray(got_p) - np.asarray(ref_p))
+    assert d.max() < 0.06 and d.mean() < 0.01, (d.max(), d.mean())
+    got = pallas_generate.generate_cl_vrnn_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws)
+    assert set(np.unique(np.asarray(got))) <= {0.0, 1.0}

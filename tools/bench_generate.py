@@ -78,7 +78,8 @@ def main():
     rows += run(32, 16, 64, 88)                      # reference/demo size
     rows += run(256, 16, 240, 512, bf16=True)        # scaled serving
     rows += run(64, 16, 240, 512, bf16=True)         # small batch at scale
-    rows += run(256, 16, 240, 768, bf16=True)        # largest fused size
+    rows += run(256, 16, 240, 768, bf16=True)        # largest bf16 fused size
+    rows += run(256, 16, 240, 1024, bf16=True)       # int8-weight mode
     with open(os.path.join(REPO, "artifacts", "generate_bench.json"), "w") as f:
         json.dump(rows, f, indent=2)
 
