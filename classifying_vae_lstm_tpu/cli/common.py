@@ -148,7 +148,13 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
     if choice == "keep":
         return cfg
     if choice == "auto":
-        use_pallas = cfg.intermediate_dim >= 512 and jax.default_backend() == "tpu"
+        from ..ops.pallas_lstm import rk_fits_vmem
+
+        use_pallas = (
+            cfg.intermediate_dim >= 512
+            and rk_fits_vmem(cfg.intermediate_dim, bf16=True)
+            and jax.default_backend() == "tpu"
+        )
         if use_pallas:
             return dataclasses.replace(cfg, lstm_backend="pallas", bf16_compute=True)
         return dataclasses.replace(cfg, lstm_backend="xla")

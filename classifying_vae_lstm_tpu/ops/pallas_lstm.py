@@ -68,6 +68,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def rk_fits_vmem(hidden_dim: int, bf16: bool = True) -> bool:
+    """The kernels keep the recurrent weight resident in VMEM; beyond
+    ~hidden 1024 bf16 (8 MB of the ~14 MB budget) no block configuration
+    exists and the XLA scan must be used. Callers (resolve_lstm_backend
+    'auto') gate on this instead of discovering it as a Mosaic OOM."""
+    bytes_per = 2 if bf16 else 4
+    return hidden_dim * 4 * hidden_dim * bytes_per <= 9 * 1024 * 1024
+
+
 def _lstm_seq_kernel(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, c_scr):
     """One batch-block: scan T steps with (h, c) resident in VMEM scratch."""
     T = xz_ref.shape[0]
@@ -487,6 +496,12 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
     ``compute_dtype=jnp.bfloat16`` is the scaled mode: matmul operands in
     bf16 (f32 accumulation), and — decisive for VMEM at H>=512 — the resident
     recurrent weight stored bf16 inside the kernel."""
+    H = params["recurrent_kernel"].shape[0]
+    if not rk_fits_vmem(H, bf16=compute_dtype is not None):
+        raise ValueError(
+            f"hidden dim {H}: recurrent weight does not fit the kernel's VMEM "
+            "budget — use the XLA backend (resolve_lstm_backend 'auto' gates "
+            "on rk_fits_vmem)")
     # the FLOP-heavy input projection stays a single large XLA matmul
     if compute_dtype is not None:
         # the xz stream itself travels in compute_dtype (f32 accumulation in

@@ -340,3 +340,30 @@ def test_engine_dp_mesh_generation():
     assert out.shape == (16, 32, 12)
     out1 = eng.generate(n=1, nsteps=32)  # bucket 1 doesn't divide -> fallback
     assert out1.shape == (1, 32, 12)
+
+
+def test_auto_backend_upper_bound():
+    """'auto' never selects pallas beyond the VMEM-resident weight limit
+    (hidden > 1024 bf16 would be a Mosaic OOM, not a speedup)."""
+    import jax as _jax
+
+    from classifying_vae_lstm_tpu.cli.common import resolve_lstm_backend
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.ops.pallas_lstm import rk_fits_vmem
+
+    assert rk_fits_vmem(1024, bf16=True)
+    assert not rk_fits_vmem(1536, bf16=True)
+    big = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=2048), "auto")
+    assert big.lstm_backend == "xla"  # even on TPU this must hold; CPU too
+
+
+def test_explicit_pallas_oversized_hidden_raises():
+    import pytest as _pytest
+
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops import lstm_sequence
+
+    p = init_lstm(jax.random.PRNGKey(0), 8, 1536)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 8))
+    with _pytest.raises(ValueError, match="VMEM"):
+        lstm_sequence(p, x, backend="pallas", compute_dtype=None)
