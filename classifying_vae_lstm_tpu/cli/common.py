@@ -153,6 +153,7 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
         use_pallas = (
             cfg.intermediate_dim >= 512
             and rk_fits_vmem(cfg.intermediate_dim, bf16=True)
+            and not getattr(cfg, "remat", False)  # pallas rejects remat
             and jax.default_backend() == "tpu"
         )
         if use_pallas:

@@ -198,7 +198,12 @@ def _make_kernel_int8(Tseed: int, block_t: int, H: int, L: int, use_x_prev: bool
     """Int8-weight variant: the five large weights arrive as int8 with
     per-column f32 scales; matmuls run int8 x int8 -> int32 on the MXU (2x
     bf16 throughput on v5e) and dequantize once per output column. Inputs
-    are exact or fixed-scale: x is binary, h = round(h * 127) / 127."""
+    are exact or fixed-scale: x is binary, h = round(h * 127) / 127.
+
+    NOTE: mirrors :func:`_make_kernel` step for step — any change to the
+    shared generation semantics (seed/feedback select, gate form, z sample,
+    rank-1 z expansion, Bernoulli) must be applied to BOTH kernels; the
+    int8-vs-f32 closeness tests anchor them together."""
     f32 = jnp.float32
     i8, i32 = jnp.int8, jnp.int32
 

@@ -497,7 +497,8 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
     bf16 (f32 accumulation), and — decisive for VMEM at H>=512 — the resident
     recurrent weight stored bf16 inside the kernel."""
     H = params["recurrent_kernel"].shape[0]
-    if not rk_fits_vmem(H, bf16=compute_dtype is not None):
+    rk_bf16 = compute_dtype is not None and jnp.dtype(compute_dtype).itemsize == 2
+    if not rk_fits_vmem(H, bf16=rk_bf16):
         raise ValueError(
             f"hidden dim {H}: recurrent weight does not fit the kernel's VMEM "
             "budget — use the XLA backend (resolve_lstm_backend 'auto' gates "

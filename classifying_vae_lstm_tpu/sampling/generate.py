@@ -275,6 +275,21 @@ def generate_cl_vrnn_batch_dp(params, cfg, x_seeds, nsteps: int, key, ws, mesh):
         raise ValueError(f"batch {B} not divisible by data axis {n_data}")
     eps, u = draw_generation_noise(key, B, Tseed + nsteps, cfg.latent_dim, D)
     use_fused = pallas_generate.should_use(cfg, B // n_data)
+    fn = _dp_generate_fn(cfg, mesh, nsteps, use_fused)
+    # no-op when already replicated on this mesh (the serving engine
+    # pre-replicates once); a one-time transfer otherwise
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    return fn(params, x_seeds, eps, u, ws)
+
+
+@functools.lru_cache(maxsize=64)
+def _dp_generate_fn(cfg, mesh, nsteps: int, use_fused: bool):
+    """Cached jitted shard_map sampler per (cfg, mesh, nsteps, backend) —
+    rebuilding the closure per request would miss jax's trace cache (function
+    identity is part of the key) and recompile on every serving call."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_generate
 
     def per_device(params, seeds, eps, u, ws):
         if use_fused:
@@ -283,8 +298,6 @@ def generate_cl_vrnn_batch_dp(params, cfg, x_seeds, nsteps: int, key, ws, mesh):
         return generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
 
     repl, shard = P(), P("data")
-    fn = jax.shard_map(per_device, mesh=mesh,
-                       in_specs=(repl, shard, shard, shard, shard),
-                       out_specs=shard, check_vma=False)
-    params = jax.device_put(params, NamedSharding(mesh, repl))
-    return fn(params, x_seeds, eps, u, ws)
+    return jax.jit(jax.shard_map(per_device, mesh=mesh,
+                                 in_specs=(repl, shard, shard, shard, shard),
+                                 out_specs=shard, check_vma=False))

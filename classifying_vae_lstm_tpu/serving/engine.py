@@ -58,6 +58,20 @@ class GenerationEngine:
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
+        if mesh is not None:
+            family = "cl_vae" if isinstance(cfg, cl_vae.Config) else "cl_vrnn"
+            if family != "cl_vrnn":
+                raise ValueError("mesh-sharded generation supports cl_vrnn only")
+            n_data = mesh.shape["data"]
+            if not any(b % n_data == 0 for b in self.BATCH_BUCKETS):
+                raise ValueError(
+                    f"dp={n_data} divides no batch bucket {self.BATCH_BUCKETS}: "
+                    "every request would silently fall back to single-device")
+            # replicate ONCE so per-request device_put in the DP path is a no-op
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.params = jax.device_put(
+                params, NamedSharding(mesh, PartitionSpec()))
         self.family = "cl_vae" if isinstance(cfg, cl_vae.Config) else "cl_vrnn"
         self.seed_bank = np.asarray(seed_bank, dtype=np.float32)
         self.seed_keys = seed_keys

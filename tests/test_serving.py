@@ -367,3 +367,42 @@ def test_explicit_pallas_oversized_hidden_raises():
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 8))
     with _pytest.raises(ValueError, match="VMEM"):
         lstm_sequence(p, x, backend="pallas", compute_dtype=None)
+
+
+def test_engine_dp_validation():
+    """--dp must divide a bucket and supports cl_vrnn only."""
+    import numpy as np
+    import pytest as _pytest
+
+    from classifying_vae_lstm_tpu.models import cl_vae as _vae, cl_vrnn as _vrnn
+    from classifying_vae_lstm_tpu.parallel import make_mesh
+    from classifying_vae_lstm_tpu.serving.engine import GenerationEngine
+
+    mesh3 = make_mesh(n_data=3, n_model=1)  # divides no bucket in (1,4,16,64)
+    cfg = _vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                       seq_length=4, n_classes=3)
+    params = _vrnn.init(jax.random.PRNGKey(0), cfg)
+    bank = np.zeros((4, 4, 12), np.float32)
+    with _pytest.raises(ValueError, match="divides no batch bucket"):
+        GenerationEngine(params, cfg, bank, mesh=mesh3)
+
+    vcfg = _vae.Config(original_dim=12, intermediate_dim=8, latent_dim=2,
+                       intermediate_class_dim=6, n_classes=3)
+    vparams = _vae.init(jax.random.PRNGKey(0), vcfg)
+    with _pytest.raises(ValueError, match="cl_vrnn only"):
+        GenerationEngine(vparams, vcfg, np.zeros((4, 12), np.float32),
+                         mesh=make_mesh(n_data=4, n_model=1))
+
+
+def test_dp_generate_fn_is_cached():
+    """Repeated DP requests hit the cached jitted shard_map sampler (a fresh
+    closure per request would recompile every call)."""
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.parallel import make_mesh
+    from classifying_vae_lstm_tpu.sampling.generate import _dp_generate_fn
+
+    cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                         seq_length=4, n_classes=3)
+    mesh = make_mesh(n_data=8, n_model=1)
+    assert _dp_generate_fn(cfg, mesh, 6, False) is _dp_generate_fn(cfg, mesh, 6, False)
+    assert _dp_generate_fn(cfg, mesh, 6, False) is not _dp_generate_fn(cfg, mesh, 8, False)
