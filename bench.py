@@ -92,20 +92,26 @@ def bench_tpu():
     dt = time.perf_counter() - t0
     steps_per_sec = n_epochs * steps_per_epoch / dt
 
-    # batched generation: 32 songs x 64 steps; averaged over queued calls so
-    # the remote-dispatch latency (~30 ms through the axon tunnel) pipelines
-    # instead of dominating a single-call measurement
-    seeds = train["x"][:32]
-    ws = train["w"][:32]
-    gen = generate_cl_vrnn_batch(params, cfg, seeds, 64, jax.random.PRNGKey(9), ws)
+    # batched generation at serving scale: 256 songs x 256 steps. Queued
+    # calls pipeline the remote-dispatch latency, and best-of-3 guards
+    # against transient tunnel stalls; the large workload keeps the number
+    # device-bound rather than tunnel-bound
+    n_songs, n_steps = 256, 256
+    idx = np.arange(n_songs) % train["x"].shape[0]
+    seeds = train["x"][idx]
+    ws = train["w"][idx]
+    gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps, jax.random.PRNGKey(9), ws)
     jax.block_until_ready(gen)
-    n_gen = 20
-    t0 = time.perf_counter()
-    for i in range(n_gen):
-        gen = generate_cl_vrnn_batch(params, cfg, seeds, 64, jax.random.PRNGKey(10 + i), ws)
-    jax.block_until_ready(gen)
-    gen_dt = (time.perf_counter() - t0) / n_gen
-    notes_per_sec = 32 * 64 * DIM / gen_dt
+    n_gen = 10
+    gen_dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_gen):
+            gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps,
+                                         jax.random.PRNGKey(10 + i), ws)
+        jax.block_until_ready(gen)
+        gen_dt = min(gen_dt, (time.perf_counter() - t0) / n_gen)
+    notes_per_sec = n_songs * n_steps * DIM / gen_dt
 
     backend = jax.default_backend()
     return steps_per_sec, notes_per_sec, backend, float(m["loss"])
