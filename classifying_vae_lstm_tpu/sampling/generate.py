@@ -112,6 +112,18 @@ def generate_cl_vae_batch(params, cfg, x_seeds, nsteps, key, w_vals=None,
     `artifacts/generate_bench.json`, cl_vrnn row; same structure here).
     ``w_vals`` overrides per-song key inference, as in the reference driver.
     """
+    return _vae_batch_with_drawn_noise(
+        params, cfg, x_seeds, nsteps, key, w_vals, use_z_prior, w_sample,
+        return_probs)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "nsteps", "use_z_prior", "w_sample", "return_probs"))
+def _vae_batch_with_drawn_noise(params, cfg, x_seeds, nsteps: int, key, w_vals,
+                                use_z_prior: bool, w_sample: bool,
+                                return_probs: bool):
+    """One device dispatch per request: w inference, noise draws, and the
+    generation scan all inside a single jitted call."""
     B = x_seeds.shape[0]
     kw, kn = jax.random.split(key)
     if w_vals is None:
@@ -194,11 +206,23 @@ def generate_cl_vrnn_batch(params, cfg, x_seeds, nsteps, key, ws):
     the entire loop runs in one kernel with the weights resident — another
     3.7x at hidden 512 serving scale.
     """
-    B, Tseed, D = x_seeds.shape
-    eps, u = draw_generation_noise(key, B, Tseed + nsteps, cfg.latent_dim, D)
     from ..ops import pallas_generate
 
-    if pallas_generate.should_use(cfg, B):
+    use_fused = pallas_generate.should_use(cfg, x_seeds.shape[0])
+    # the noise draw happens INSIDE the jitted call: one device dispatch per
+    # request instead of three (matters over a remote-dispatch link, and
+    # lets XLA overlap the draws with the seed prep)
+    return _batch_with_drawn_noise(params, cfg, x_seeds, nsteps, key, ws, use_fused)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "use_fused"))
+def _batch_with_drawn_noise(params, cfg, x_seeds, nsteps: int, key, ws,
+                            use_fused: bool):
+    from ..ops import pallas_generate
+
+    B, Tseed, D = x_seeds.shape
+    eps, u = draw_generation_noise(key, B, Tseed + nsteps, cfg.latent_dim, D)
+    if use_fused:
         return pallas_generate.generate_cl_vrnn_batch_pallas(
             params, cfg, x_seeds, nsteps, eps, u, ws)
     return generate_cl_vrnn_batch_noise(params, cfg, x_seeds, nsteps, eps, u, ws)
