@@ -256,3 +256,30 @@ def test_dp_generation_matches_single_device(monkeypatch):
     assert pallas_generate.should_use(cfg_p, B // 8)
     got_p = generate_cl_vrnn_batch_dp(params, cfg_p, seeds, nsteps, key, ws, mesh)
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref))
+
+
+def test_dp_generation_int8_mode(monkeypatch):
+    """Int8 fused generation inside shard_map DP: valid output, per-shard
+    quantization identical to single-device (weights replicate)."""
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.ops import pallas_generate
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vrnn_batch_dp)
+
+    monkeypatch.setattr(pallas_generate, "FORCE_OFF_TPU", True)
+    monkeypatch.setattr(pallas_generate, "pick_mode", lambda cfg: "int8")
+    cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                         seq_length=4, n_classes=3, use_x_prev=True,
+                         lstm_backend="pallas")
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    B = 16
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, 4, 12)) < 0.2).astype(jnp.float32)
+    ws = jax.nn.one_hot(jnp.arange(B) % 3, 3).astype(jnp.float32)
+    mesh = make_mesh(n_data=8, n_model=1)
+    got = generate_cl_vrnn_batch_dp(params, cfg, seeds, 6, jax.random.PRNGKey(2), ws, mesh)
+    assert got.shape == (B, 6, 12)
+    assert set(np.unique(np.asarray(got))) <= {0.0, 1.0}
+    # exact vs single-device int8 kernel with the same globally-drawn noise
+    eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, 10, 2, 12)
+    ref = pallas_generate.generate_cl_vrnn_batch_pallas(params, cfg, seeds, 6, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
