@@ -1,0 +1,117 @@
+"""On-hardware kernel verification sweep.
+
+CPU interpret-mode tests cannot catch VMEM OOM, Mosaic layout/scalarization
+issues, or padded-block behavior on real tiles — both round-2 hardware bugs
+(batch-500 VMEM OOM; 100x scalarization of sub-128-lane matmuls) slipped
+through a green CPU suite. This sweep runs every kernel family on the REAL
+TPU across the shape classes that matter (aligned/unaligned batches, tiled
+time, f32/bf16/int8 ladders) and checks numerics against the XLA reference.
+
+Usage: python tools/verify_kernels_tpu.py   (~3-6 min incl. compiles)
+Exits nonzero on any failure. Run after touching ops/pallas_*.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    print(("PASS" if ok else "FAIL"), name, detail)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops import pallas_generate
+    from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vrnn_batch_noise)
+
+    assert jax.default_backend() == "tpu", "this sweep must run on a real TPU"
+
+    # --- LSTM fwd + bwd: aligned and UNALIGNED batches, f32 and bf16 ---
+    for B, T, IN, H, cd, rtol in [
+        (200, 16, 98, 88, None, 1e-4),      # reference shape, f32
+        (200, 16, 98, 512, jnp.bfloat16, 0.08),   # the round-2 OOM shape
+        (1024, 16, 98, 1024, jnp.bfloat16, 0.08),  # flagship scaled shape
+        (500, 16, 98, 512, jnp.bfloat16, 0.08),    # no 8-aligned divisor
+    ]:
+        p = init_lstm(jax.random.PRNGKey(0), IN, H)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+
+        # jit like every production path does — standalone eager pallas
+        # compiles take a different (and flakier) remote-compile route
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("backend",))
+        def loss(p, backend, cd=cd):
+            h, _ = lstm_sequence(p, x, backend=backend, compute_dtype=cd)
+            return jnp.mean(h**2)
+
+        name = f"lstm B{B} H{H} {'bf16' if cd else 'f32'}"
+        try:
+            fa = float(loss(p, backend="xla"))
+            fb = float(loss(p, backend="pallas"))
+            ga = jax.jit(jax.grad(lambda q: loss(q, backend="xla")))(p)
+            gb = jax.jit(jax.grad(lambda q: loss(q, backend="pallas")))(p)
+            fwd_ok = abs(fa - fb) <= rtol * abs(fa) + 1e-6
+            g_ok = all(
+                np.allclose(np.asarray(ga[k], np.float32), np.asarray(gb[k], np.float32),
+                            rtol=rtol, atol=rtol * float(np.abs(np.asarray(ga[k])).max() + 1e-6))
+                for k in ga)
+            check(name, fwd_ok and g_ok, f"fwd {fa:.5f} vs {fb:.5f}")
+        except Exception as e:  # OOM / Mosaic errors surface here
+            check(name, False, repr(e)[:200])
+
+    # --- fused generation: precision ladder + unaligned batch ---
+    for B, H, bf16, mode_expect, tol in [
+        (64, 512, True, "bf16", 5e-3),
+        (256, 1024, True, "int8", 0.08),
+        (20, 512, True, "bf16", 5e-3),      # padded batch blocks
+    ]:
+        cfg = cl_vrnn.Config(original_dim=88, intermediate_dim=H, latent_dim=2,
+                             seq_length=16, n_classes=10, use_x_prev=True,
+                             bf16_compute=bf16, lstm_backend="pallas")
+        name = f"generate B{B} H{H} ({mode_expect})"
+        try:
+            mode = pallas_generate.pick_mode(cfg)
+            if mode != mode_expect:
+                check(name, False, f"pick_mode={mode}")
+                continue
+            prm = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+            seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, 16, 88)) < 0.1
+                     ).astype(jnp.float32)
+            ws = jax.nn.one_hot(jnp.arange(B) % 10, 10).astype(jnp.float32)
+            eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, 16 + 32, 2, 88)
+            u1 = jnp.ones_like(u)  # feedback-free: isolates per-step numerics
+            ref = generate_cl_vrnn_batch_noise(prm, cfg, seeds, 32, eps, u1, ws,
+                                               return_probs=True)
+            got = pallas_generate.generate_cl_vrnn_batch_pallas(
+                prm, cfg, seeds, 32, eps, u1, ws, return_probs=True)
+            d = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+            check(name, d < tol, f"max prob dev {d:.4f}")
+        except Exception as e:
+            check(name, False, repr(e)[:200])
+
+    print("FAILURES:", FAILURES if FAILURES else "none")
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
