@@ -12,8 +12,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
   (BASELINE.json). The baseline number is cached in .bench_baseline.json so
   repeat runs measure only the TPU side.
 
-Extras: sampled notes/sec for compiled batched generation (BASELINE.json
-metric set) and the cl_vae steps/sec.
+Extras: sampled notes/sec for serving-scale batched generation (BASELINE.json
+metric set) and a FLOP-bound scaled config with achieved TFLOP/s and MFU
+(`scaled_flop_bound`; Pallas fwd+bwd kernels).
 """
 
 from __future__ import annotations
