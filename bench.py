@@ -12,8 +12,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
   (BASELINE.json). The baseline number is cached in .bench_baseline.json so
   repeat runs measure only the TPU side.
 
-Extras: sampled notes/sec for serving-scale batched generation (BASELINE.json
-metric set) and a FLOP-bound scaled config with achieved TFLOP/s and MFU
+Extras: the training headline is best-of-3 five-epoch reps with the per-rep
+rates and spread recorded (`train_steps_spread`); batched-generation
+notes/sec at TWO fixed definitions (`gen_notes_per_sec_reference_size` =
+32 songs x 64 steps, `gen_notes_per_sec_serving_scale` = 256 x 256 queued —
+`sampled_notes_per_sec` aliases the serving-scale number for r02 continuity);
+and a FLOP-bound scaled config with achieved TFLOP/s and MFU
 (`scaled_flop_bound`; Pallas fwd+bwd kernels).
 """
 
@@ -85,37 +89,54 @@ def bench_tpu():
     # not worth it here; see train/loop.py.)
     params, opt_state, m = trainer.train_epoch(params, opt_state, train, jax.random.PRNGKey(1), one, one, one)
     jax.block_until_ready(m)  # warmup/compile
-    n_epochs = 5
-    t0 = time.perf_counter()
-    for e in range(n_epochs):
-        params, opt_state, m = trainer.train_epoch(params, opt_state, train, jax.random.PRNGKey(2 + e), one, one, one)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_epochs * steps_per_epoch / dt
-
-    # batched generation at serving scale: 256 songs x 256 steps. Queued
-    # calls pipeline the remote-dispatch latency, and best-of-3 guards
-    # against transient tunnel stalls; the large workload keeps the number
-    # device-bound rather than tunnel-bound
-    n_songs, n_steps = 256, 256
-    idx = np.arange(n_songs) % train["x"].shape[0]
-    seeds = train["x"][idx]
-    ws = train["w"][idx]
-    gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps, jax.random.PRNGKey(9), ws)
-    jax.block_until_ready(gen)
-    n_gen = 10
-    gen_dt = float("inf")
-    for rep in range(3):
+    # regression-grade headline: best-of-N reps with recorded spread, so a
+    # 1-2% round-to-round drift is distinguishable from noise (VERDICT
+    # round 2, item 7 — the r01->r02 "drift" was within this band)
+    n_epochs, n_reps = 5, 3
+    rep_rates = []
+    for rep in range(n_reps):
         t0 = time.perf_counter()
-        for i in range(n_gen):
-            gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps,
-                                         jax.random.PRNGKey(10 + i), ws)
+        for e in range(n_epochs):
+            params, opt_state, m = trainer.train_epoch(
+                params, opt_state, train, jax.random.PRNGKey(2 + rep * n_epochs + e),
+                one, one, one)
+        jax.block_until_ready(m)
+        rep_rates.append(n_epochs * steps_per_epoch / (time.perf_counter() - t0))
+    steps_per_sec = max(rep_rates)
+    train_spread = {
+        "reps_steps_per_sec": [round(r, 1) for r in rep_rates],
+        "best": round(max(rep_rates), 1),
+        "worst": round(min(rep_rates), 1),
+        "spread_pct": round(100 * (max(rep_rates) - min(rep_rates)) / max(rep_rates), 2),
+    }
+
+    def _gen_rate(n_songs, n_steps, n_calls):
+        """Best-of-3 batched-generation notes/sec at a fixed (songs, steps).
+        Queued calls pipeline the remote-dispatch latency; best-of-3 guards
+        against transient tunnel stalls."""
+        idx = np.arange(n_songs) % train["x"].shape[0]
+        seeds = train["x"][idx]
+        ws = train["w"][idx]
+        gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps, jax.random.PRNGKey(9), ws)
         jax.block_until_ready(gen)
-        gen_dt = min(gen_dt, (time.perf_counter() - t0) / n_gen)
-    notes_per_sec = n_songs * n_steps * DIM / gen_dt
+        gen_dt = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            for i in range(n_calls):
+                gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps,
+                                             jax.random.PRNGKey(10 + i), ws)
+            jax.block_until_ready(gen)
+            gen_dt = min(gen_dt, (time.perf_counter() - t0) / n_calls)
+        return n_songs * n_steps * DIM / gen_dt
+
+    # BOTH generation metrics, definitions fixed across rounds (item 7):
+    # reference-size = the r01 definition (32 songs x 64 steps, single-call
+    # scale), serving-scale = the r02 definition (256 x 256, queued).
+    notes_ref_size = _gen_rate(32, 64, n_calls=20)
+    notes_serving = _gen_rate(256, 256, n_calls=10)
 
     backend = jax.default_backend()
-    return steps_per_sec, notes_per_sec, backend, float(m["loss"])
+    return steps_per_sec, train_spread, notes_ref_size, notes_serving, backend, float(m["loss"])
 
 
 # bf16 peak FLOP/s per chip by device kind (public spec sheets); used for MFU
@@ -306,7 +327,7 @@ def main():
         base = bench_cpu_baseline()
         with open(BASELINE_CACHE, "w") as f:
             json.dump({"cpu_steps_per_sec": base, "environment": env}, f, indent=1)
-    steps, notes, backend, loss = bench_tpu()
+    steps, train_spread, notes_ref, notes_serving, backend, loss = bench_tpu()
     mfu = bench_mfu()
     print(json.dumps({
         "metric": "cl_vrnn train steps/sec per chip (JSB-all, batch 200, seq 16)",
@@ -315,7 +336,11 @@ def main():
         "vs_baseline": round(steps / base, 2),
         "baseline_cpu_steps_per_sec": round(base, 2),
         "baseline_environment": env,
-        "sampled_notes_per_sec": round(notes, 1),
+        "train_steps_spread": train_spread,  # best-of-N + variance (item 7)
+        # fixed definitions, comparable across rounds:
+        "sampled_notes_per_sec": round(notes_serving, 1),  # = serving-scale (r02 def)
+        "gen_notes_per_sec_reference_size": round(notes_ref, 1),  # 32x64 (r01 def)
+        "gen_notes_per_sec_serving_scale": round(notes_serving, 1),  # 256x256
         "backend": backend,
         "final_epoch_loss": round(loss, 3),
         "scaled_flop_bound": mfu,  # VERDICT weak #4: recorded MFU config

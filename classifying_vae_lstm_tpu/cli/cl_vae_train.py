@@ -95,6 +95,8 @@ def train(args):
         log_fn=log_fn,
         save_last=args.save_last or args.resume,
         trace_dir=args.trace_dir,
+        streaming=args.streaming,
+        stream_seed=args.seed,
         **resume_kwargs,
     )
     print({k: round(v, 4) for k, v in best_loss.items()})
@@ -138,6 +140,8 @@ def build_parser():
                         help="capture a jax.profiler trace of one epoch (extension)")
     parser.add_argument("--check_numerics", action="store_true",
                         help="fail fast on NaN/Inf in the first batch's loss/grads (extension)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="host-stream training batches with device prefetch for corpora larger than HBM (extension)")
     parser.add_argument("--data_init", action="store_true",
                         help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
     parser.add_argument("--vanilla", action="store_true",

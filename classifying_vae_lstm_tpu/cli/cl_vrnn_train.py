@@ -95,6 +95,8 @@ def train(args):
         log_fn=common.make_log_fn(args) if args.do_log else None,
         save_last=args.save_last or args.resume,
         trace_dir=args.trace_dir,
+        streaming=args.streaming,
+        stream_seed=args.seed,
         **resume_kwargs,
     )
     val_losses = history.get("val_loss", [])
@@ -146,6 +148,8 @@ def build_parser():
                         help="LSTM sequence backend (extension); 'auto' picks the "
                              "Pallas fwd+bwd kernels + bf16 operands at hidden>=512 "
                              "on TPU (1.9-2.3x the XLA scan train step)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="host-stream training batches with device prefetch for corpora larger than HBM (extension)")
     parser.add_argument("--data_init", action="store_true",
                         help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
     return parser

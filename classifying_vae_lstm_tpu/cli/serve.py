@@ -52,7 +52,9 @@ def build_engine(args) -> tuple[GenerationEngine, dict]:
         from ..parallel import make_mesh
 
         mesh = make_mesh(n_data=args.dp, n_model=1)
-    engine = GenerationEngine(params, cfg, seeds, P.test_song_keys, mesh=mesh)
+    engine = GenerationEngine(params, cfg, seeds, P.test_song_keys, mesh=mesh,
+                              dynamic_batching=getattr(args, 'dynamic_batching', False),
+                              batch_window_ms=getattr(args, 'batch_window_ms', 3.0))
     key_map = dict(P.key_map)
     return engine, key_map
 
@@ -179,6 +181,11 @@ def build_parser():
     parser.add_argument("--dp", type=int, default=1,
                         help="shard cl_vrnn generation over N devices "
                              "(data axis; extension)")
+    parser.add_argument("--dynamic_batching", action="store_true",
+                        help="coalesce concurrent /generate requests into one "
+                             "bucketed device call (bounded wait window)")
+    parser.add_argument("--batch_window_ms", type=float, default=3.0,
+                        help="max queueing wait for request coalescing (ms)")
     parser.add_argument("--warmup", type=str, default="full",
                         choices=["full", "background", "off"],
                         help="pre-compile the bucket grid: 'full' blocks until every "

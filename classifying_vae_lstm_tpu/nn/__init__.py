@@ -8,10 +8,12 @@ from .core import (
 )
 from .distributions import (
     gaussian_kl,
+    logistic_normal_from_eps,
     logistic_normal_kl,
     sample_gaussian,
     sample_logistic_normal,
     sample_w_discrete,
+    sample_w_discrete_from_u,
 )
 from .losses import (
     binary_crossentropy,
@@ -31,12 +33,14 @@ __all__ = [
     "init_dense",
     "init_lstm",
     "kl_loss",
+    "logistic_normal_from_eps",
     "logistic_normal_kl",
     "orthogonal",
     "random_normal_init",
     "sample_gaussian",
     "sample_logistic_normal",
     "sample_w_discrete",
+    "sample_w_discrete_from_u",
     "vae_loss",
     "w_kl_loss",
     "w_rec_loss",

@@ -37,6 +37,31 @@ def sample_logistic_normal(key, mean, log_var, add_noise=True):
     return jax.nn.softmax(logits, axis=-1)
 
 
+def logistic_normal_from_eps(mean, log_var, eps, add_noise=True):
+    """:func:`sample_logistic_normal` with the Gaussian draw passed in.
+
+    Lets the noise-explicit samplers (and the generation-parity tests against
+    ``tools/ref_oracle.RefGen*``) share one draw between implementations.
+    """
+    w_norm = mean + jnp.exp(log_var / 2) * eps if add_noise else mean
+    zeros = jnp.zeros(w_norm.shape[:-1] + (1,), w_norm.dtype)
+    logits = jnp.concatenate([w_norm, zeros], axis=-1)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def sample_w_discrete_from_u(u, w):
+    """:func:`sample_w_discrete` with the uniform passed in.
+
+    ``np.random.choice(len(w), p=w/w.sum())`` (cl_vrnn/model.py:65-69) is the
+    inverse-CDF draw ``searchsorted(cumsum(p), u, side='right')``; given the
+    same uniform both implementations pick the same index.
+    """
+    p = w / jnp.sum(w, axis=-1, keepdims=True)
+    idx = jnp.searchsorted(jnp.cumsum(p, axis=-1), u, side="right")
+    idx = jnp.minimum(idx, w.shape[-1] - 1)
+    return jax.nn.one_hot(idx, w.shape[-1], dtype=w.dtype)
+
+
 def sample_w_discrete(key, w):
     """One-hot draw from the categorical given by w (cl_vrnn/model.py:65-69)."""
     idx = jax.random.choice(key, w.shape[-1], p=w / jnp.sum(w))

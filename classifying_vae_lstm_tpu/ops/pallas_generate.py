@@ -50,15 +50,24 @@ def _gates(z, c_prev, H):
     return o * jnp.tanh(c), c
 
 
-def _weight_bytes(D: int, H: int, L: int, wt_bytes: int) -> int:
-    """Resident weight cost: enc x-kernel, enc rk, z head, dec z/x kernels,
-    dec rk, frame head."""
-    return wt_bytes * (
+def _weight_bytes(D: int, H: int, L: int, mode: str) -> int:
+    """Resident weight cost with each tensor at the dtype the kernel actually
+    loads it in (not a single uniform width — the int8 mode keeps the z head
+    bf16 and the decoder z rows f32, carries five per-column f32 scale
+    vectors, and every mode lane-pads the frame head to Dp)."""
+    wb = {"f32": 4, "bf16": 2, "int8": 1}[mode]
+    Dp = max(128, -(-D // 128) * 128)
+    big = wb * (
         D * 4 * H + H * 4 * H          # encoder x-kernel + recurrent
-        + H * 128 + L * 4 * H          # z heads (lane-padded) + decoder z rows
         + D * 4 * H + H * 4 * H        # decoder x rows + recurrent
-        + H * D                        # frame head
+        + H * Dp                       # frame head (lane-padded)
     )
+    z_head = (2 if mode == "int8" else wb) * H * 128   # bf16 floor in int8 mode
+    z_dec = (4 if mode == "int8" else wb) * L * 4 * H  # f32 in int8 mode
+    biases = 4 * (128 + Dp)                            # bz + bx, f32
+    # int8 scales: ske/srke/skd/srkd [1, 4H] + swx [1, Dp], f32
+    scales = 4 * (4 * 4 * H + Dp) if mode == "int8" else 0
+    return big + z_head + z_dec + biases + scales
 
 
 def pick_mode(cfg) -> str | None:
@@ -75,12 +84,12 @@ def pick_mode(cfg) -> str | None:
     limit = _BUDGET - int(2.5 * 1024 * 1024)
     D, H, L = cfg.original_dim, cfg.intermediate_dim, cfg.latent_dim
     if cfg.bf16_compute:
-        if _weight_bytes(D, H, L, 2) < limit:
+        if _weight_bytes(D, H, L, "bf16") < limit:
             return "bf16"
-        if _weight_bytes(D, H, L, 1) < limit:
+        if _weight_bytes(D, H, L, "int8") < limit:
             return "int8"
         return None
-    return "f32" if _weight_bytes(D, H, L, 4) < limit else None
+    return "f32" if _weight_bytes(D, H, L, "f32") < limit else None
 
 
 def fits(cfg) -> bool:
@@ -114,8 +123,8 @@ def should_use(cfg, batch_size: int) -> bool:
     return jax.default_backend() == "tpu" or FORCE_OFF_TPU
 
 
-def _pick_blocks(B: int, T: int, D: int, H: int, L: int, wt_bytes: int):
-    wcost = _weight_bytes(D, H, L, wt_bytes)
+def _pick_blocks(B: int, T: int, D: int, H: int, L: int, mode: str):
+    wcost = _weight_bytes(D, H, L, mode)
     stream = (4 * D + L) * 4  # seed + u + x_out + xm_out (D each) + eps (L), f32
     # batch blocks need not divide B (rows independent; padded cdiv grid);
     # time blocks must divide T so the sequential scratch carry sees no
@@ -308,7 +317,7 @@ def generate_cl_vrnn_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
         [x_seeds, jnp.zeros((B, nsteps, D), x_seeds.dtype)], axis=1)
     tm = lambda a: jnp.swapaxes(a, 0, 1)  # [B, T, .] -> time-major
 
-    block_b, block_t = _pick_blocks(B, total, D, H, L, jnp.dtype(wt).itemsize)
+    block_b, block_t = _pick_blocks(B, total, D, H, L, mode)
     nb = pl.cdiv(B, block_b)
     nt = pl.cdiv(total, block_t)
 

@@ -224,8 +224,10 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
 
     ``min_sublane`` is the Mosaic sublane tile for the streamed dtype: blocks'
     second-to-last dim must be a multiple of 8 (f32) / 16 (bf16) unless it
-    equals the full array dim; bf16 callers pass 16. If no aligned divisor of
-    B fits, 8-aligned divisors are tried (relayout cost beats a VMEM blowup).
+    equals the full array dim; bf16 callers pass 16. Every candidate honors
+    the alignment (padded power-of-two blocks don't need to divide B, so an
+    aligned candidate always exists down to bb=min_sublane; B itself — a
+    full-dim block — is the only sub-aligned shape Mosaic accepts).
     """
     budget = 14 * 1024 * 1024
     rk_cost = H * 4 * H * rk_bytes_per_el
@@ -261,11 +263,10 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
                     return bb, bt
         return None
 
-    for sub in [min_sublane, 8] if min_sublane != 8 else [8]:
-        got = search(sub)
-        if got is not None:
-            return got
-    return min(8, B), t_divs[-1]
+    got = search(min_sublane)
+    if got is not None:
+        return got
+    return min(min_sublane, B), t_divs[-1]
 
 
 def _lstm_seq_train_kernel(xz_ref, rk_ref, h0_ref, c0_ref,

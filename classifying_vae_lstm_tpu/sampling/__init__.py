@@ -8,6 +8,7 @@ from .generate import (
     generate_cl_vrnn_batch_dp,
     generate_cl_vrnn_batch_noise,
     infer_w_cl_vrnn,
+    infer_w_cl_vrnn_noise,
 )
 from .samplers import sample_w, sample_w_discrete, sample_x, sample_z
 
@@ -21,6 +22,7 @@ __all__ = [
     "generate_cl_vrnn_batch_dp",
     "generate_cl_vrnn_batch_noise",
     "infer_w_cl_vrnn",
+    "infer_w_cl_vrnn_noise",
     "sample_w",
     "sample_w_discrete",
     "sample_x",

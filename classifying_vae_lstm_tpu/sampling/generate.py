@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from ..models import cl_vae, cl_vrnn
-from ..nn.distributions import sample_gaussian, sample_logistic_normal, sample_w_discrete
+from ..nn.distributions import (
+    logistic_normal_from_eps,
+    sample_gaussian,
+    sample_logistic_normal,
+    sample_w_discrete,
+    sample_w_discrete_from_u,
+)
 
 
 @functools.partial(
@@ -157,6 +163,29 @@ def infer_w_cl_vrnn(params, cfg: cl_vrnn.Config, x_seed, key,
     w = jnp.mean(ws, axis=0)
     if w_discrete:
         w = sample_w_discrete(kd, w)
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "w_sample", "w_discrete"))
+def infer_w_cl_vrnn_noise(params, cfg: cl_vrnn.Config, x_seed, eps_w_chunks,
+                          w_sample: bool = False, w_discrete: bool = False,
+                          u_discrete=None):
+    """:func:`infer_w_cl_vrnn` with the random draws passed in explicitly.
+
+    ``eps_w_chunks [n_chunks, K-1]`` Gaussian draws (one per seq_length chunk
+    of the seed), ``u_discrete`` a scalar uniform for the ``--discrete_w``
+    inverse-CDF draw. Same math as the key-based variant; used to drive this
+    sampler and ``tools/ref_oracle.RefGenCLVRNN.infer_w`` with identical noise
+    (generation-semantics parity, reference ``cl_vrnn/model.py:34-44``).
+    """
+    T = x_seed.shape[0]
+    n_chunks = max(T // cfg.seq_length, 1)
+    chunks = x_seed[: n_chunks * cfg.seq_length].reshape(n_chunks, cfg.seq_length, -1)
+    w_mean, w_log_var = cl_vrnn.encode_w(params, cfg, chunks)
+    ws = logistic_normal_from_eps(w_mean, w_log_var, eps_w_chunks, add_noise=w_sample)
+    w = jnp.mean(ws, axis=0)
+    if w_discrete:
+        w = sample_w_discrete_from_u(u_discrete, w)
     return w
 
 

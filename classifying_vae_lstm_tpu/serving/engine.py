@@ -36,6 +36,112 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+class _PendingRequest:
+    """One caller's songs waiting to be coalesced into a device batch."""
+
+    __slots__ = ("seeds", "ws", "t", "event", "result", "error")
+
+    def __init__(self, seeds, ws, t):
+        self.seeds = seeds  # np [k, ...]
+        self.ws = ws        # np [k, K]
+        self.t = t          # step bucket
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class DynamicBatcher:
+    """Coalesces concurrent generate() calls into ONE bucketed device call.
+
+    Under concurrent clients the per-request dispatch serializes on the
+    device; the generation scan's cost is nearly flat in the batch dimension
+    (it is bucket-padded anyway), so a batch of coalesced requests costs
+    about one request. The worker takes the oldest pending request, waits
+    ``window_ms`` for same-step-bucket company (bounded added latency),
+    stacks the songs, runs the engine's bucketed ``_run`` once, and splits
+    the rows back per caller. Requests with different step buckets stay
+    queued for the next round — shapes inside a batch are uniform, so no
+    recompilation is ever triggered by coalescing (the bucket grid is the
+    same one ``warmup`` precompiles).
+    """
+
+    def __init__(self, engine: "GenerationEngine", window_ms: float = 3.0,
+                 max_songs: int | None = None):
+        self.engine = engine
+        self.window_s = window_ms / 1e3
+        self.max_songs = max_songs or engine.BATCH_BUCKETS[-1]
+        self._queue: list[_PendingRequest] = []
+        self._cv = threading.Condition()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, seeds: np.ndarray, ws: np.ndarray, t: int) -> np.ndarray:
+        """Block until the request's songs are generated; returns [k, t, D]."""
+        req = _PendingRequest(np.asarray(seeds), np.asarray(ws), t)
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _take_group(self) -> list[_PendingRequest]:
+        """Oldest request + every same-step-bucket request that arrives within
+        the window (or until ``max_songs`` rows are gathered)."""
+        with self._cv:
+            while not self._queue:
+                self._cv.wait()
+            t = self._queue[0].t
+            deadline = time.perf_counter() + self.window_s
+            while True:
+                group, songs = [], 0
+                for r in self._queue:
+                    if r.t == t and songs < self.max_songs:
+                        group.append(r)
+                        songs += len(r.seeds)
+                now = time.perf_counter()
+                if songs >= self.max_songs or now >= deadline:
+                    for r in group:
+                        self._queue.remove(r)
+                    return group
+                self._cv.wait(timeout=deadline - now)
+
+    def _loop(self):
+        while True:
+            group = self._take_group()
+            try:
+                self._run_group(group)
+            except Exception as e:  # surface to every caller, keep serving
+                for r in group:
+                    r.error = e
+                    r.event.set()
+
+    def _run_group(self, group: list[_PendingRequest]):
+        eng = self.engine
+        t = group[0].t
+        seeds = np.concatenate([r.seeds for r in group], axis=0)
+        ws = np.concatenate([r.ws for r in group], axis=0)
+        n = len(seeds)
+        b = _bucket(n, eng.BATCH_BUCKETS)
+        pad = b - n
+        if pad:
+            seeds = np.concatenate([seeds, np.repeat(seeds[:1], pad, axis=0)])
+            ws = np.concatenate([ws, np.repeat(ws[:1], pad, axis=0)])
+        eng._mark_bucket(b, t)
+        out = np.asarray(jax.block_until_ready(
+            eng._run(jnp.asarray(seeds), t, jnp.asarray(ws))))
+        with eng._lock:
+            eng.stats["batches"] += 1
+            eng.stats["batched_songs"] += n
+        i = 0
+        for r in group:
+            k = len(r.seeds)
+            r.result = out[i : i + k]
+            i += k
+            r.event.set()
+
+
 class GenerationEngine:
     """Thread-safe generation service over a loaded checkpoint.
 
@@ -48,13 +154,17 @@ class GenerationEngine:
     STEP_BUCKETS = (32, 64, 128, 256)
 
     def __init__(self, params, cfg, seed_bank: np.ndarray,
-                 seed_keys: np.ndarray | None = None, key=None, mesh=None):
+                 seed_keys: np.ndarray | None = None, key=None, mesh=None,
+                 dynamic_batching: bool = False, batch_window_ms: float = 3.0):
         """seed_bank: [N, Tseed, D] (cl_vrnn) or [N, D] (cl_vae) test-set
         seeds; seed_keys: optional integer key label per seed (for
         key-conditioned requests and true-key conditioning); mesh: optional
         device mesh — cl_vrnn generation shards songs over its 'data' axis
         (embarrassingly parallel, zero collectives; composes with the fused
-        Pallas kernel inside shard_map)."""
+        Pallas kernel inside shard_map); dynamic_batching: coalesce
+        concurrent requests into one bucketed device call (see
+        :class:`DynamicBatcher`), adding at most ``batch_window_ms`` of
+        queueing latency per request."""
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
@@ -77,9 +187,11 @@ class GenerationEngine:
         self.seed_keys = seed_keys
         self._key = key if key is not None else jax.random.PRNGKey(0)
         self._lock = threading.Lock()
-        self.stats = {"requests": 0, "songs": 0, "gen_seconds": 0.0, "compiles": 0}
+        self.stats = {"requests": 0, "songs": 0, "gen_seconds": 0.0, "compiles": 0,
+                      "batches": 0, "batched_songs": 0}
         self._compiled: set = set()
         self._latencies: list = []  # per-request seconds (bounded ring)
+        self._completions: list = []  # (completion time, songs) bounded ring
         # fused whole-generation Pallas kernel (weights resident in VMEM):
         # generate_cl_vrnn_batch dispatches to it per-request via the same
         # predicate; this attribute just surfaces the decision for /stats
@@ -87,6 +199,9 @@ class GenerationEngine:
 
         self._use_fused_gen = self.family == "cl_vrnn" and pallas_generate.should_use(
             cfg, self.BATCH_BUCKETS[-1])
+        self._batcher = (
+            DynamicBatcher(self, window_ms=batch_window_ms) if dynamic_batching else None
+        )
 
     def _next_key(self):
         with self._lock:
@@ -124,7 +239,10 @@ class GenerationEngine:
     def _generate_bucket(self, b: int, t: int):
         idx = np.arange(b) % len(self.seed_bank)
         seeds = jnp.asarray(self.seed_bank[idx])
-        ws = jnp.full((b, self.cfg.n_classes), 1.0 / self.cfg.n_classes)
+        # explicit dtype: a weak-typed full() would compile a different cache
+        # entry than the strong-f32 ws real requests (and the batcher) pass
+        ws = jnp.full((b, self.cfg.n_classes), 1.0 / self.cfg.n_classes,
+                      dtype=jnp.float32)
         self._mark_bucket(b, t)
         out = self._run(seeds, t, ws)
         return jax.block_until_ready(out)
@@ -141,6 +259,15 @@ class GenerationEngine:
             return generate_cl_vrnn_batch_dp(
                 self.params, self.cfg, seeds, t, self._next_key(), ws, self.mesh)
         return generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
+
+    def _infer_ws_cl_vae(self, seeds):
+        """Per-seed key simplex points, the deterministic mean-logit point the
+        sampler uses for ``w_val=None`` (``sample_w(..., add_noise=False)``,
+        reference cl_vae/model.py:24-27,55-58)."""
+        from ..nn.distributions import logistic_normal_from_eps
+
+        w_mean, w_log_var = cl_vae.encode_w(self.params, seeds)
+        return logistic_normal_from_eps(w_mean, w_log_var, None, add_noise=False)
 
     def _coerce_seed_rolls(self, rolls: np.ndarray) -> np.ndarray:
         """Fit user rolls to the seed-bank shape (front-pad/trim the time
@@ -168,11 +295,14 @@ class GenerationEngine:
         t0 = time.perf_counter()
         b = _bucket(n, self.BATCH_BUCKETS)
         t = _bucket(nsteps, self.STEP_BUCKETS)
+        # with dynamic batching, build exactly n songs and let the batcher
+        # pad the COALESCED batch to a bucket; solo requests pad here
+        m = n if self._batcher is not None else b
 
         user_seeds = None
         if seed_rolls is not None:
             user_seeds = self._coerce_seed_rolls(seed_rolls)
-            seed_indices = np.zeros(b, dtype=np.int64)  # placeholder keys
+            seed_indices = np.zeros(m, dtype=np.int64)  # placeholder keys
         elif seed_indices is None:
             rng = np.random.default_rng(int(self._next_key()[0]))
             pool = np.arange(len(self.seed_bank))
@@ -180,50 +310,67 @@ class GenerationEngine:
                 pool = pool[self.seed_keys == key_name_index]
                 if len(pool) == 0:
                     raise ValueError(f"no seeds with key index {key_name_index}")
-            seed_indices = rng.choice(pool, size=b, replace=len(pool) < b)
+            seed_indices = rng.choice(pool, size=m, replace=len(pool) < m)
         else:
-            seed_indices = np.resize(np.asarray(seed_indices), b)
+            seed_indices = np.resize(np.asarray(seed_indices), m)
 
         if user_seeds is not None:
-            seeds = jnp.asarray(np.resize(user_seeds, (b,) + user_seeds.shape[1:]))
+            seeds = jnp.asarray(np.resize(user_seeds, (m,) + user_seeds.shape[1:]))
         else:
             seeds = jnp.asarray(self.seed_bank[seed_indices])
         if user_seeds is not None and key_name_index is not None:
             # user seed + requested key: condition on the named key directly
             ws = jnp.broadcast_to(
                 jax.nn.one_hot(key_name_index, self.cfg.n_classes),
-                (b, self.cfg.n_classes))
+                (m, self.cfg.n_classes))
         elif infer_w or user_seeds is not None:
             if self.family == "cl_vae":
-                # cl_vae infers w per seed frame inside generate (w_val=None)
-                ws = None
+                # cl_vae infers w per seed frame inside generate (w_val=None);
+                # the batcher needs it materialized (one coalesced ws array)
+                ws = self._infer_ws_cl_vae(seeds) if self._batcher is not None else None
             else:
-                keys = jax.random.split(self._next_key(), b)
+                keys = jax.random.split(self._next_key(), m)
                 ws = jax.vmap(lambda s, k: infer_w_cl_vrnn(self.params, self.cfg, s, k))(seeds, keys)
         else:
             if self.seed_keys is None:
                 raise ValueError("true-key conditioning needs seed_keys")
             ws = jax.nn.one_hot(jnp.asarray(self.seed_keys[seed_indices]), self.cfg.n_classes)
 
-        self._mark_bucket(b, t)
-        out = self._run(seeds, t, ws)
-        out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
+        if self._batcher is not None:
+            out = self._batcher.submit(np.asarray(seeds), np.asarray(ws), t)[:n, :nsteps]
+        else:
+            self._mark_bucket(b, t)
+            out = self._run(seeds, t, ws)
+            out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
         dt = time.perf_counter() - t0
         with self._lock:
             self.stats["requests"] += 1
             self.stats["songs"] += n
             self.stats["gen_seconds"] += dt
             self._latencies.append(dt)
+            self._completions.append((time.perf_counter(), n))
             if len(self._latencies) > 1024:  # bounded window
                 self._latencies = self._latencies[-1024:]
+                self._completions = self._completions[-1024:]
         return out
 
     def latency_stats(self) -> dict:
-        """p50/p95/p99 request latency (ms) over the recent window."""
+        """p50/p95/p99 request latency (ms) + songs/sec over the recent window.
+
+        Throughput uses completion timestamps, so overlapping (concurrent or
+        coalesced) requests are counted against wall-clock, not summed
+        per-request time."""
         with self._lock:
             lats = list(self._latencies)
-        if not lats:
-            return {"p50_ms": None, "p95_ms": None, "p99_ms": None}
-        q = np.percentile(np.asarray(lats) * 1e3, [50, 95, 99])
-        return {"p50_ms": round(float(q[0]), 2), "p95_ms": round(float(q[1]), 2),
-                "p99_ms": round(float(q[2]), 2)}
+            comps = list(self._completions)
+        out = {"p50_ms": None, "p95_ms": None, "p99_ms": None, "songs_per_sec": None}
+        if lats:
+            q = np.percentile(np.asarray(lats) * 1e3, [50, 95, 99])
+            out.update(p50_ms=round(float(q[0]), 2), p95_ms=round(float(q[1]), 2),
+                       p99_ms=round(float(q[2]), 2))
+        if len(comps) >= 2:
+            span = comps[-1][0] - comps[0][0]
+            if span > 0:
+                # first completion's songs were in flight before the window
+                out["songs_per_sec"] = round(sum(n for _, n in comps[1:]) / span, 2)
+        return out

@@ -187,6 +187,8 @@ def fit(
     initial_epoch: int = 0,
     save_last: bool = False,
     trace_dir: str | None = None,
+    streaming: bool = False,
+    stream_seed: int = 0,
 ):
     """Run the full training schedule; returns (params, history, best_loss).
 
@@ -198,7 +200,11 @@ def fit(
     :func:`.checkpoint.load_opt_state`) to resume mid-training; ``save_last``
     writes ``<run>.last.npz`` (+ optimizer state) every epoch for resume;
     ``trace_dir`` captures a ``jax.profiler`` trace of one post-compile epoch
-    (the reference's TensorBoard-callback analog, SURVEY §5 tracing).
+    (the reference's TensorBoard-callback analog, SURVEY §5 tracing);
+    ``streaming`` routes training through
+    :meth:`Trainer.train_epoch_streaming` — ``train_data`` stays host-side
+    NumPy, batches are shuffled on host and double-buffered onto the device
+    (the larger-than-HBM path; the val split must still fit on device).
     """
     # train_epoch donates its params/opt_state buffers; copy so the caller's
     # arrays (and any later fit() on the same pytree) stay valid
@@ -212,6 +218,9 @@ def fit(
     history: dict[str, list] = {}
     best_params = params
     traced = False
+    stream_rng = np.random.default_rng(stream_seed) if streaming else None
+    if streaming:
+        train_data = {k: np.asarray(v) for k, v in train_data.items()}
 
     for epoch in range(initial_epoch, num_epochs):
         t0 = time.perf_counter()
@@ -220,9 +229,15 @@ def fit(
         key, k_train, k_val = jax.random.split(key, 3)
 
         def run_epoch():
-            p, s, m = trainer.train_epoch(
-                params, opt_state, train_data, k_train, kl_w, jnp.float32(class_weight), w_kl_w
-            )
+            if streaming:
+                p, s, m = trainer.train_epoch_streaming(
+                    params, opt_state, train_data, k_train, kl_w,
+                    jnp.float32(class_weight), w_kl_w, stream_rng
+                )
+            else:
+                p, s, m = trainer.train_epoch(
+                    params, opt_state, train_data, k_train, kl_w, jnp.float32(class_weight), w_kl_w
+                )
             vm = trainer.eval_epoch(p, val_data, k_val, kl_w, jnp.float32(class_weight), w_kl_w)
             jax.block_until_ready(vm)
             return p, s, m, vm

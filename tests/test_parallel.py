@@ -58,18 +58,63 @@ def test_sharded_training_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
-def test_tensor_parallel_column_sharding_runs():
-    """DP x TP mesh: column-sharded kernels compile and step."""
+def test_tensor_parallel_epoch_matches_single_device():
+    """4x2 DP x TP train_epoch == single-device epoch within fp tolerance.
+
+    Column (last-dim) sharding splits each kernel's OUTPUT features across
+    the 'model' axis; the weight-norm g/V reductions run over the unsharded
+    all-but-last axes, so they stay device-local (`parallel/mesh.py:21-23`)
+    and the AdamWN update must be bit-comparable to the replicated one. A
+    silent perturbation of the update under sharding would show up here.
+    """
     trainer, params, data = _setup()
-    mesh = make_mesh(n_data=4, n_model=2)
-    params, sh_data, _ = shard_training_state(mesh, params, data, data)
-    # kernels are column-sharded over 'model'
-    k_sh = params["h_w"]["kernel"].sharding
-    assert "model" in str(k_sh.spec)
-    opt_state = trainer.optimizer.init(params)
     one = jnp.float32(1.0)
-    p, s, m = trainer.train_epoch(params, opt_state, sh_data, jax.random.PRNGKey(0), one, one, one)
-    assert np.isfinite(float(m["loss"]))
+    key = jax.random.PRNGKey(7)
+
+    opt_state = trainer.optimizer.init(params)
+    p_ref, _, m_ref = trainer.train_epoch(
+        jax.tree.map(jnp.copy, params), opt_state, data, key, one, one, one
+    )
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    trainer2, params2, _ = _setup()
+    params2, sh_data, _ = shard_training_state(mesh, params2, data, data)
+    # kernels are column-sharded over 'model'
+    assert "model" in str(params2["h_w"]["kernel"].sharding.spec)
+    opt_state2 = trainer2.optimizer.init(params2)
+    p_tp, _, m_tp = trainer2.train_epoch(params2, opt_state2, sh_data, key, one, one, one)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]), rtol=1e-4)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(p_ref)
+    flat_tp = jax.tree.leaves(p_tp)
+    for (path, a), b in zip(flat_ref, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_tensor_parallel_nll_matches_replicated():
+    """TP-sharded IW-NLL == replicated IW-NLL (same key), per window."""
+    from classifying_vae_lstm_tpu.evaluation.nll import iw_nll_dataset
+    from classifying_vae_lstm_tpu.models import cl_vae as cv
+
+    cfg = cv.Config(original_dim=16, intermediate_dim=16, latent_dim=2,
+                    intermediate_class_dim=8, n_classes=4)
+    params = cv.init(jax.random.PRNGKey(0), cfg)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (32, 16)) < 0.25).astype(jnp.float32)
+    data = {"x": x, "y": x}
+    key = jax.random.PRNGKey(9)
+
+    ref = iw_nll_dataset(params, cfg, data, key, n_samples=8, batch_size=16,
+                         family="cl_vae")
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    from classifying_vae_lstm_tpu.parallel import shard_params
+    params_tp = shard_params(params, mesh)
+    tp = iw_nll_dataset(params_tp, cfg, data, key, n_samples=8, batch_size=16,
+                        family="cl_vae")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(tp), rtol=1e-5, atol=1e-6)
 
 
 def test_shard_batch_places_on_data_axis():

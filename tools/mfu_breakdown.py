@@ -1,0 +1,205 @@
+"""Per-stage breakdown + roofline accounting for the scaled train step.
+
+VERDICT round 2, item 4: "the 44.5% MFU number has no accounting behind it".
+This tool decomposes the pallas cl_vrnn train step at the scaled configs
+(hidden 1024 / batch 1024 and hidden 512 / batch 1024, bf16 streams) into
+additively-timed stages, and puts an analytic roofline (FLOPs vs bytes
+moved against the chip's bf16 peak and HBM bandwidth) next to each:
+
+  stage            how it is timed
+  ---------------  -----------------------------------------------------------
+  full_step        Trainer.train_step (fwd + ELBO + bwd + AdamWN update)
+  loss_fwd_bwd     jax.value_and_grad of the loss alone (no optimizer)
+  adamwn_update    opt.update + apply_updates on captured grads
+  lstm_fwd_bwd     both LSTM recurrences (fwd+bwd) through the Pallas
+                   custom_vjp on precomputed input projections
+  other_fwd_bwd    loss_fwd_bwd - lstm_fwd_bwd: input projections, z/x heads,
+                   sampling, ELBO reductions, dz->weight-grad matmuls
+
+Writes artifacts/mfu_breakdown.json. Run on the real TPU:
+
+    python tools/mfu_breakdown.py [--configs 1024,512]
+
+The same decomposition runs on CPU for a smoke test (tests/test_bench.py);
+numbers are only meaningful on TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+# v5e public spec: 197 TFLOP/s bf16 peak, 819 GB/s HBM bandwidth
+PEAK_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9, "TPU v4": 1228e9,
+           "TPU v6 lite": 1640e9, "TPU v6e": 1640e9}
+
+T, D, L, K = 16, 88, 2, 10
+
+
+def _time_fn(fn, *args, n=20, **kwargs):
+    out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def _lstm_flops_bytes(B, H, in_dim):
+    """One LSTM (fwd+bwd) at bf16 streams: FLOPs counted for the recurrent
+    matmuls + input projection + their backward; bytes for the HBM streams
+    the pallas path actually moves (xz/z/dz bf16, h/c f32 outputs)."""
+    fwd = B * T * (2 * in_dim * 4 * H + 2 * H * 4 * H)
+    flops = 3 * fwd  # bwd ~ 2x fwd
+    bt = B * T
+    bytes_moved = (
+        2 * bt * 4 * H      # xz stream in, bf16 (fwd)
+        + 4 * bt * H * 2    # h_seq + c_seq out, f32 (fwd)
+        + 2 * bt * 4 * H    # z pre-activation stream out, bf16 (fwd)
+        + 2 * bt * 4 * H    # z stream read back (bwd)
+        + 2 * bt * 4 * H    # dz stream out, bf16 (bwd)
+        + 4 * bt * H * 3    # h_seq/c_seq reads + dh chain (bwd, f32)
+        + 2 * bt * in_dim * 3  # x in (fwd) + x re-read + dx out (bwd)
+    )
+    return flops, bytes_moved
+
+
+def run_config(hid: int, batch: int):
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.optim import init_optimizer
+    from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+    from classifying_vae_lstm_tpu.train import Trainer
+    from bench import _cl_vrnn_train_flops, _peak_flops
+
+    cfg = cl_vrnn.Config(original_dim=D, intermediate_dim=hid, latent_dim=L,
+                         seq_length=T, n_classes=K, use_x_prev=True,
+                         bf16_compute=True, lstm_backend="pallas")
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    opt, _ = init_optimizer("adam-wn")
+    loss_fn = functools.partial(
+        lambda c, p, b, k, klw, cw, wklw: cl_vrnn.loss_and_metrics(p, c, b, k, klw, cw, wklw), cfg
+    )
+    trainer = Trainer(loss_fn, opt, batch_size=batch)
+    opt_state = opt.init(params)
+    kx, kp, kw = jax.random.split(jax.random.PRNGKey(1), 3)
+    data = {
+        "x": (jax.random.uniform(kx, (batch, T, D)) < 0.1).astype(jnp.float32),
+        "x_prev": (jax.random.uniform(kp, (batch, T, D)) < 0.1).astype(jnp.float32),
+        "w": jax.nn.one_hot(jax.random.randint(kw, (batch,), 0, K), K),
+    }
+    data["y"] = data["x"]
+    one = jnp.float32(1.0)
+
+    # full step
+    t_full = _time_fn(trainer.train_step, params, opt_state, data,
+                      jax.random.PRNGKey(2), one, one, one, n=20)
+
+    # fwd+bwd only
+    grad_fn = jax.jit(jax.value_and_grad(lambda p, b, k: loss_fn(p, b, k, one, one, one)[0]))
+    t_grad = _time_fn(grad_fn, params, data, jax.random.PRNGKey(2), n=20)
+
+    # optimizer update only (on captured grads)
+    _, grads = grad_fn(params, data, jax.random.PRNGKey(2))
+    upd_fn = jax.jit(lambda g, s, p: opt.update(g, s, p))
+    t_opt = _time_fn(upd_fn, grads, opt_state, params, n=20)
+
+    # both LSTMs fwd+bwd through the pallas custom_vjp, on precomputed
+    # input projections (what the kernels actually consume)
+    enc_in, dec_in = D + K, D + L + K
+    kxz = jax.random.PRNGKey(3)
+    x_enc = jax.random.normal(kxz, (batch, T, enc_in))
+    x_dec = jax.random.normal(kxz, (batch, T, dec_in))
+
+    def two_lstms(p, xe, xd):
+        he, _ = lstm_sequence(p["encoder_h"], xe, backend="pallas",
+                              compute_dtype=jnp.bfloat16)
+        hd, _ = lstm_sequence(p["decoder_h"], xd, backend="pallas",
+                              compute_dtype=jnp.bfloat16)
+        return jnp.sum(he) + jnp.sum(hd)
+
+    lstm_grad = jax.jit(jax.grad(two_lstms))
+    t_lstm = _time_fn(lstm_grad, params, x_enc, x_dec, n=20)
+
+    kind = jax.devices()[0].device_kind
+    peak = _peak_flops(kind) or 197e12
+    bw = next((v for k, v in PEAK_BW.items() if k.lower() in kind.lower()), 819e9)
+
+    step_flops = _cl_vrnn_train_flops(batch, T, D, hid, L, K)
+    fe, be = _lstm_flops_bytes(batch, hid, enc_in)
+    fd, bd = _lstm_flops_bytes(batch, hid, dec_in)
+    lstm_flops, lstm_bytes = fe + fd, be + bd
+    # AdamWN: per param, read p/m/v/g + write p/m/v (+ g/V split temporaries)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    opt_bytes = 4 * n_params * 8
+
+    def roof(flops, bytes_moved, secs):
+        t_flop = flops / peak
+        t_bw = bytes_moved / bw
+        bound = "flops" if t_flop > t_bw else "bandwidth"
+        return {
+            "seconds": round(secs, 6),
+            "tflops": round(flops / 1e12, 3),
+            "gbytes": round(bytes_moved / 1e9, 3),
+            "roofline_seconds": round(max(t_flop, t_bw), 6),
+            "roofline_bound": bound,
+            "pct_of_roof": round(100 * max(t_flop, t_bw) / secs, 1) if secs else None,
+        }
+
+    out = {
+        "config": f"cl_vrnn hidden {hid}, batch {batch}, seq {T}, bf16, pallas",
+        "device_kind": kind,
+        "peak_bf16_tflops": peak / 1e12,
+        "hbm_bandwidth_gbs": bw / 1e9,
+        "mfu_full_step": round(step_flops / (t_full * peak), 4),
+        "stages": {
+            "full_step": roof(step_flops, None or 0, t_full) | {"gbytes": None},
+            "loss_fwd_bwd": {"seconds": round(t_grad, 6),
+                             "share_of_step": round(t_grad / t_full, 3)},
+            "adamwn_update": roof(0, opt_bytes, t_opt)
+            | {"tflops": None, "share_of_step": round(t_opt / t_full, 3)},
+            "lstm_fwd_bwd": roof(lstm_flops, lstm_bytes, t_lstm)
+            | {"share_of_step": round(t_lstm / t_full, 3)},
+            "other_fwd_bwd": {
+                "seconds": round(t_grad - t_lstm, 6),
+                "share_of_step": round((t_grad - t_lstm) / t_full, 3),
+                "what": "input projections, z/x heads, sampling, ELBO "
+                        "reductions, dz->weight-grad matmuls",
+            },
+        },
+        "unattributed_seconds": round(t_full - t_grad - t_opt, 6),
+    }
+    print(json.dumps(out, indent=2), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=str, default="1024,512")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--out", type=str, default="artifacts/mfu_breakdown.json")
+    args = ap.parse_args()
+    results = [run_config(int(h), args.batch) for h in args.configs.split(",")]
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,21 +1,38 @@
 """Converged quality parity: repo vs reference-semantics oracle, test NLL.
 
-Trains BASELINE config 1 (cl_vae, JSB-Cs, --latent_dim 4 --use_x_prev) and
-config 4 (cl_vrnn, JSB defaults) twice each:
+Covers ALL FIVE BASELINE.json configs plus the champion recipe (VERDICT
+round 2, item 1). Each config trains twice:
 
 * the JAX framework (this repo), and
 * the torch/f64 transcription of the reference Keras semantics
   (:mod:`tools.ref_oracle`),
 
-with the same epoch budget and independent shuffles, then evaluates BOTH
-trained weight sets with the same importance-sampled NLL estimator
-(:mod:`classifying_vae_lstm_tpu.evaluation.nll`). The |delta| <= 0.1
-nats/frame target is BASELINE.json's "quality parity" north star — the paper
-(arXiv:1711.07050) is unreachable offline (BASELINE.md), so the oracle stands
-in as the executable reference.
+with the same epoch budget, the same anneal schedules / class_weight, and
+independent shuffles, then evaluates BOTH trained weight sets with the same
+importance-sampled NLL estimator (:mod:`classifying_vae_lstm_tpu.evaluation.nll`).
+The |delta| <= 0.1 nats/frame target is BASELINE.json's "quality parity"
+north star — the paper (arXiv:1711.07050) is unreachable offline
+(BASELINE.md), so the oracle stands in as the executable reference.
 
-Run:  JAX_PLATFORM_NAME=cpu python tools/run_oracle_parity.py [--epochs 30]
-Writes artifacts/oracle_nll_parity.json and prints one JSON line per family.
+Configs (BASELINE.md):
+  1 cl_vae  JSB-Cs   latent 4, use_x_prev
+  2 vanilla JSB-all  latent 4 (no key latent; w heads are zero-width and the
+                     w losses vanish identically in both implementations)
+  3 cl_vae  Piano-midi_all  latent 4, use_x_prev (synthetic PM-scale corpus,
+                     tools/synth_pianomidi_corpus.py; 13 key classes)
+  4 cl_vrnn JSB-all  reference defaults
+  5 cl_vrnn Piano-midi_all  use_x_prev
+  champion  cl_vrnn JSB-all hidden 256, latent 8, use_x_prev,
+                     class_weight 0.3, kl_anneal 10, w_kl_anneal 5 — the
+                     recipe behind the repo's 8.75 nats/frame headline
+                     (artifacts/jsball_vrnn4.json), compared at a matched
+                     epoch budget on both sides.
+
+Run:  JAX_PLATFORM_NAME=cpu python tools/run_oracle_parity.py \
+          [--configs 1,2,3,4,5] [--epochs 30] [--out artifacts/...]
+      JAX_PLATFORM_NAME=cpu python tools/run_oracle_parity.py \
+          --configs champion --epochs 60
+Appends/updates rows in artifacts/oracle_nll_parity.json keyed by config.
 """
 
 from __future__ import annotations
@@ -39,10 +56,25 @@ from classifying_vae_lstm_tpu.evaluation.nll import iw_nll_dataset
 from classifying_vae_lstm_tpu.models import cl_vae, cl_vrnn
 from classifying_vae_lstm_tpu.optim import init_optimizer
 from classifying_vae_lstm_tpu.train import Trainer
+from classifying_vae_lstm_tpu.train.callbacks import AnnealSchedule
 from tools.ref_oracle import RefAdamWN, RefCLVAE, RefCLVRNN, train_steps
 
 JSB_CS = "/root/reference/data/input/JSB Chorales_Cs.pickle"
 JSB_ALL = "/root/reference/data/input/JSB Chorales_all.pickle"
+PM_ALL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "data/input/Piano-midi_all.pickle")
+
+# (family, train_file, model kwargs, train kwargs)
+CONFIGS = {
+    "1": dict(family="cl_vae", data=JSB_CS, latent_dim=4, use_x_prev=True),
+    "2": dict(family="cl_vae", data=JSB_ALL, latent_dim=4, vanilla=True),
+    "3": dict(family="cl_vae", data=PM_ALL, latent_dim=4, use_x_prev=True),
+    "4": dict(family="cl_vrnn", data=JSB_ALL, latent_dim=2),
+    "5": dict(family="cl_vrnn", data=PM_ALL, latent_dim=2, use_x_prev=True),
+    "champion": dict(family="cl_vrnn", data=JSB_ALL, latent_dim=8,
+                     intermediate_dim=256, use_x_prev=True, class_weight=0.3,
+                     kl_anneal=10, w_kl_anneal=5),
+}
 
 
 def _oracle_params_to_jax(oracle):
@@ -51,14 +83,23 @@ def _oracle_params_to_jax(oracle):
             for name, layer in oracle.p.items()}
 
 
-def _train_oracle(oracle, data, batch_size, epochs, family, cfg, seed=123):
+def _epoch_weights(epochs, kl_anneal, w_kl_anneal, class_weight):
+    """Per-epoch (kl_w, class_w, w_kl_w), reference anneal semantics
+    (cl_vae/train.py:39-51: constant 1.0 when anneal == 0)."""
+    kl = AnnealSchedule(0.1, 1.0, kl_anneal)
+    wkl = AnnealSchedule(0.0, 1.0, w_kl_anneal)
+    return [(kl(e), class_weight, wkl(e)) for e in range(epochs)]
+
+
+def _train_oracle(oracle, data, batch_size, weights_per_epoch, family, cfg, seed=123):
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     opt = RefAdamWN(oracle.parameters())
     n = data["x"].shape[0]
     nb = n // batch_size
+    epochs = len(weights_per_epoch)
     last = None
-    for e in range(epochs):
+    for e, weights in enumerate(weights_per_epoch):
         perm = rng.permutation(n)[: nb * batch_size]
         batches, noises = [], []
         for i in range(nb):
@@ -73,68 +114,93 @@ def _train_oracle(oracle, data, batch_size, epochs, family, cfg, seed=123):
                 noises.append((np.asarray(jax.random.normal(kw, (B, cfg.n_classes - 1))),
                                np.asarray(jax.random.normal(
                                    kz, (B, cfg.seq_length, cfg.latent_dim)))))
-        losses = train_steps(oracle, opt, batches, noises)
+        losses = train_steps(oracle, opt, batches, noises, weights)
         last = float(np.mean(losses))
         print(f"  oracle epoch {e + 1}/{epochs} loss={last:.3f}", flush=True)
     return last
 
 
-def _train_jax(cfg, params, data, batch_size, epochs, family, seed=321):
+def _train_jax(cfg, params, data, batch_size, weights_per_epoch, family, seed=321):
     opt, _ = init_optimizer("adam-wn")
     mod = cl_vae if family == "cl_vae" else cl_vrnn
     loss_fn = lambda p, b, k, klw, cw, wklw: mod.loss_and_metrics(p, cfg, b, k, klw, cw, wklw)
     trainer = Trainer(loss_fn, opt, batch_size=batch_size)
     opt_state = opt.init(params)
-    one = jnp.float32(1.0)
     key = jax.random.PRNGKey(seed)
     params = jax.tree.map(jnp.copy, params)
-    for e in range(epochs):
+    for kl_w, class_w, w_kl_w in weights_per_epoch:
         key, k = jax.random.split(key)
-        params, opt_state, m = trainer.train_epoch(params, opt_state, data, k, one, one, one)
+        params, opt_state, m = trainer.train_epoch(
+            params, opt_state, data, k,
+            jnp.float32(kl_w), jnp.float32(class_w), jnp.float32(w_kl_w))
     print(f"  jax final epoch loss={float(m['loss']):.3f}", flush=True)
     return params
 
 
-def run_family(family: str, epochs: int, n_iw: int = 64):
+def run_config(name: str, epochs: int, n_iw: int = 64):
+    spec = CONFIGS[name]
+    family = spec["family"]
     t0 = time.time()
+    hidden = spec.get("intermediate_dim", 88)
+    use_x_prev = spec.get("use_x_prev", False)
     if family == "cl_vae":
-        P = PianoData(JSB_CS, batch_size=100, seq_length=1, return_y_next=True,
+        P = PianoData(spec["data"], batch_size=100, seq_length=1, return_y_next=True,
                       squeeze_x=True, squeeze_y=True)
-        K = int(len(np.unique(P.train_song_keys)))
-        cfg = cl_vae.Config(original_dim=88, intermediate_dim=88, latent_dim=4,
-                            intermediate_class_dim=88, n_classes=K, use_x_prev=True)
-        datasets = common.build_cl_vae_datasets(P, K, use_x_prev=True)
+        if spec.get("vanilla"):
+            # BASELINE config 2: drop the key latent (cli/cl_vae_train.py:35-40)
+            K = 1
+            for split in ("train", "valid", "test"):
+                setattr(P, f"{split}_song_keys",
+                        np.zeros_like(getattr(P, f"{split}_song_keys")))
+        else:
+            K = int(len(np.unique(P.train_song_keys)))
+        cfg = cl_vae.Config(original_dim=88, intermediate_dim=hidden,
+                            latent_dim=spec["latent_dim"],
+                            intermediate_class_dim=88, n_classes=K,
+                            use_x_prev=use_x_prev)
+        datasets = common.build_cl_vae_datasets(P, K, use_x_prev=use_x_prev)
         batch_size = 100
         params0 = cl_vae.init(jax.random.PRNGKey(0), cfg)
-        oracle = RefCLVAE(jax.tree.map(np.asarray, params0), 88, 88, 4, K, use_x_prev=True)
+        oracle = RefCLVAE(jax.tree.map(np.asarray, params0), 88, hidden,
+                          spec["latent_dim"], K, use_x_prev=use_x_prev)
     else:
-        P = PianoData(JSB_ALL, batch_size=200, seq_length=16, return_y_next=False,
+        P = PianoData(spec["data"], batch_size=200, seq_length=16, return_y_next=False,
                       return_y_hist=True, squeeze_x=False, squeeze_y=False)
         K = int(len(np.unique(P.train_song_keys)))
-        cfg = cl_vrnn.Config(original_dim=88, intermediate_dim=88, latent_dim=2,
-                             seq_length=16, n_classes=K)
-        datasets = common.build_cl_vrnn_datasets(P, K, use_x_prev=False)
+        cfg = cl_vrnn.Config(original_dim=88, intermediate_dim=hidden,
+                             latent_dim=spec["latent_dim"], seq_length=16,
+                             n_classes=K, use_x_prev=use_x_prev)
+        datasets = common.build_cl_vrnn_datasets(P, K, use_x_prev=use_x_prev)
         batch_size = 200
         params0 = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
-        oracle = RefCLVRNN(jax.tree.map(np.asarray, params0), 88, 88, 2, 16, K)
+        oracle = RefCLVRNN(jax.tree.map(np.asarray, params0), 88, hidden,
+                           spec["latent_dim"], 16, K, use_x_prev=use_x_prev)
 
+    weights = _epoch_weights(epochs, spec.get("kl_anneal", 0),
+                             spec.get("w_kl_anneal", 0),
+                             spec.get("class_weight", 1.0))
     train = {k: np.asarray(v) for k, v in datasets["train"].items()}
-    print(f"[{family}] {K} classes, {train['x'].shape[0]} train windows", flush=True)
+    print(f"[config {name}] {family} K={K} hidden={hidden} "
+          f"{train['x'].shape[0]} train windows, {epochs} epochs", flush=True)
 
-    print(f"[{family}] training oracle ({epochs} epochs)...", flush=True)
-    _train_oracle(oracle, train, batch_size, epochs, family, cfg)
-    print(f"[{family}] training jax ({epochs} epochs)...", flush=True)
-    jax_params = _train_jax(cfg, params0, datasets["train"], batch_size, epochs, family)
+    print(f"[config {name}] training oracle...", flush=True)
+    _train_oracle(oracle, train, batch_size, weights, family, cfg)
+    print(f"[config {name}] training jax...", flush=True)
+    jax_params = _train_jax(cfg, params0, datasets["train"], batch_size, weights, family)
 
     test = {k: v for k, v in datasets["test"].items() if k in ("x", "y", "x_prev")}
     oracle_params = _oracle_params_to_jax(oracle)
-    kwargs = dict(n_samples=n_iw, batch_size=500, family=family)
+    kwargs = dict(n_samples=n_iw, batch_size=500 if family == "cl_vae" else 200,
+                  family=family)
     nll_jax = float(np.mean(iw_nll_dataset(jax_params, cfg, test,
                                            jax.random.PRNGKey(5), **kwargs)))
     nll_ref = float(np.mean(iw_nll_dataset(oracle_params, cfg, test,
                                            jax.random.PRNGKey(5), **kwargs)))
     out = {
+        "config": name,
         "family": family,
+        "train_file": os.path.basename(spec["data"]),
+        "hidden": hidden,
         "epochs": epochs,
         "n_importance_samples": n_iw,
         "test_nll_jax": round(nll_jax, 4),
@@ -150,14 +216,27 @@ def run_family(family: str, epochs: int, n_iw: int = 64):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
-    ap.add_argument("--families", type=str, default="cl_vae,cl_vrnn")
+    ap.add_argument("--configs", type=str, default="1,2,3,4,5",
+                    help="comma list from {1,2,3,4,5,champion}")
     ap.add_argument("--out", type=str, default="artifacts/oracle_nll_parity.json")
     args = ap.parse_args()
-    results = [run_family(f, args.epochs) for f in args.families.split(",")]
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
-    print(f"wrote {args.out}")
+
+    existing = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+        # round-2 rows were keyed by family only; normalize
+        for r in existing:
+            r.setdefault("config", "1" if r["family"] == "cl_vae" else "4")
+
+    for name in args.configs.split(","):
+        row = run_config(name, args.epochs)
+        existing = [r for r in existing if r.get("config") != name] + [row]
+        existing.sort(key=lambda r: str(r.get("config")))
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(f"updated {args.out} ({len(existing)} rows)", flush=True)
 
 
 if __name__ == "__main__":
