@@ -106,9 +106,22 @@ def run_config(hid: int, batch: int):
     data["y"] = data["x"]
     one = jnp.float32(1.0)
 
-    # full step
-    t_full = _time_fn(trainer.train_step, params, opt_state, data,
-                      jax.random.PRNGKey(2), one, one, one, n=20)
+    # full step (train_step donates params/opt_state: give the loop its own
+    # copies and thread them through, so `params` stays alive for the other
+    # stage timings below)
+    p = jax.tree.map(jnp.copy, params)
+    s = jax.tree.map(jnp.copy, opt_state)
+    p, s, m = trainer.train_step(p, s, data, jax.random.PRNGKey(2),
+                                 one, one, one)
+    jax.block_until_ready(m)
+    t_full = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(20):
+            p, s, m = trainer.train_step(p, s, data, jax.random.PRNGKey(3 + i),
+                                         one, one, one)
+        jax.block_until_ready(m)
+        t_full = min(t_full, (time.perf_counter() - t0) / 20)
 
     # fwd+bwd only
     grad_fn = jax.jit(jax.value_and_grad(lambda p, b, k: loss_fn(p, b, k, one, one, one)[0]))
