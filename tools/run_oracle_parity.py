@@ -144,7 +144,10 @@ def run_config(name: str, epochs: int, n_iw: int = 64):
     hidden = spec.get("intermediate_dim", 88)
     use_x_prev = spec.get("use_x_prev", False)
     if family == "cl_vae":
-        P = PianoData(spec["data"], batch_size=100, seq_length=1, return_y_next=True,
+        # reference wiring: y is the NEXT frame only under predict_next or
+        # use_x_prev (cl_vae/train.py:17-19); plain configs reconstruct
+        P = PianoData(spec["data"], batch_size=100, seq_length=1,
+                      return_y_next=use_x_prev,
                       squeeze_x=True, squeeze_y=True)
         if spec.get("vanilla"):
             # BASELINE config 2: drop the key latent (cli/cl_vae_train.py:35-40)
@@ -164,7 +167,8 @@ def run_config(name: str, epochs: int, n_iw: int = 64):
         oracle = RefCLVAE(jax.tree.map(np.asarray, params0), 88, hidden,
                           spec["latent_dim"], K, use_x_prev=use_x_prev)
     else:
-        P = PianoData(spec["data"], batch_size=200, seq_length=16, return_y_next=False,
+        P = PianoData(spec["data"], batch_size=200, seq_length=16,
+                      return_y_next=use_x_prev,  # cl_vrnn/train.py:18
                       return_y_hist=True, squeeze_x=False, squeeze_y=False)
         K = int(len(np.unique(P.train_song_keys)))
         cfg = cl_vrnn.Config(original_dim=88, intermediate_dim=hidden,
