@@ -307,6 +307,71 @@ def _lstm_seq_train_kernel(xz_ref, rk_ref, h0_ref, c0_ref,
     jax.lax.fori_loop(0, T_blk, step, 0)
 
 
+def _use_interleave(block_b: int, block_t: int) -> bool:
+    """Half-block MXU/VPU pipelining pays when a block spans >= 2 timesteps.
+
+    The recurrence serializes the per-step matmul (MXU) and gate math (VPU);
+    splitting the batch block into independent halves A/B and ordering
+    ``mm_B || gates_A`` then ``mm_A(t+1) || gates_B`` overlaps the units
+    (measured +15-29% forward at batch 200 / hidden >= 512 —
+    `artifacts/lstm_interleave_exp.json`). At block_t == 1 the cross-step
+    pipeline degenerates (the prefetched next-step matmul is wasted work) and
+    measured neutral — keep the plain kernel there."""
+    return block_t >= 2 and block_b >= 32 and block_b % 2 == 0
+
+
+def _lstm_seq_train_kernel_ilv(xz_ref, rk_ref, h0_ref, c0_ref,
+                               hseq_ref, cseq_ref, zseq_ref, h_scr, c_scr):
+    """Interleaved (two half-block pipelined) variant of the training forward.
+
+    Numerically identical to :func:`_lstm_seq_train_kernel` — rows are
+    independent, only the issue order changes."""
+    T_blk = xz_ref.shape[0]
+    hb = h_scr.shape[0] // 2
+    H = h_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+    mm = lambda h: jnp.dot(h.astype(wt), rk_ref[:], preferred_element_type=f32,
+                           precision=prec)
+
+    def gates(z, c_prev):
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_prev + i * g
+        return o * jnp.tanh(c), c
+
+    zA0 = xz_ref[0, :hb].astype(f32) + mm(h_scr[:hb])
+
+    def step(t, zA):
+        zB = xz_ref[t, hb:].astype(f32) + mm(h_scr[hb:])   # MXU ...
+        hA, cA = gates(zA, c_scr[:hb])                     # ... || VPU
+        h_scr[:hb] = hA
+        c_scr[:hb] = cA
+        hseq_ref[t, :hb] = hA
+        cseq_ref[t, :hb] = cA
+        zseq_ref[t, :hb] = zA.astype(zseq_ref.dtype)
+        tn = jnp.minimum(t + 1, T_blk - 1)
+        zA_next = xz_ref[tn, :hb].astype(f32) + mm(hA)     # MXU ...
+        hB, cB = gates(zB, c_scr[hb:])                     # ... || VPU
+        h_scr[hb:] = hB
+        c_scr[hb:] = cB
+        hseq_ref[t, hb:] = hB
+        cseq_ref[t, hb:] = cB
+        zseq_ref[t, hb:] = zB.astype(zseq_ref.dtype)
+        return zA_next
+
+    jax.lax.fori_loop(0, T_blk, step, zA0)
+
+
 def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
                      rkt_ref, dzseq_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
     """Reverse-time BPTT block: (dh, dc) live in VMEM scratch across all
@@ -359,6 +424,78 @@ def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
     dc0_ref[:] = dc_scr[:]
 
 
+def _lstm_bwd_kernel_ilv(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
+                         rkt_ref, dzseq_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
+    """Interleaved (half-block pipelined) variant of the BPTT backward.
+
+    Per half the chain is VPU (gate grads -> dz) -> MXU (dz @ rk.T) -> VPU
+    (previous step). Half B's VPU work overlaps half A's matmul and vice
+    versa. A's step-(s+1) VPU work runs speculatively inside step s (its
+    stores are predicated off on the final step so time 0 is not recomputed
+    with stale state). Numerics identical to :func:`_lstm_bwd_kernel`."""
+    del nt
+    T_blk = zseq_ref.shape[0]
+    hb = dh_scr.shape[0] // 2
+    H = dh_scr.shape[-1]
+    A, B = slice(0, hb), slice(hb, dh_scr.shape[0])
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    f32 = jnp.float32
+    wt = rkt_ref.dtype
+    prec = "highest" if wt == f32 else None
+    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
+    mm = lambda dz: jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32,
+                            precision=prec)
+
+    def dz_math(t, rows, dh_in, store):
+        """Gate grads for one half at time t; returns dz. Stores dz and the
+        dc carry only under ``store`` (the speculative final call must not
+        re-touch state)."""
+        z = zseq_ref[t, rows].astype(f32)
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        tanh_c = jnp.tanh(cseq_ref[t, rows])
+        dh = dh_in + dhseq_ref[t, rows]
+        dc = dc_scr[rows] + dcseq_ref[t, rows] + dh * o * (1 - tanh_c**2)
+        do = dh * tanh_c
+        di = dc * g
+        dg = dc * i
+        df = dc * cprev_ref[t, rows]
+        dz = jnp.concatenate(
+            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
+        )
+
+        @pl.when(store)
+        def _():
+            dzseq_ref[t, rows] = dz.astype(dzseq_ref.dtype)
+            dc_scr[rows] = dc * f
+
+        return dz
+
+    true_ = jnp.bool_(True)
+    dzA0 = dz_math(T_blk - 1, A, dh_scr[A], true_)
+
+    def step(s, dzA):
+        t = T_blk - 1 - s
+        dhA = mm(dzA)                                   # MXU ...
+        dzB = dz_math(t, B, dh_scr[B], true_)           # ... || VPU
+        dh_scr[A] = dhA
+        dh_scr[B] = mm(dzB)                             # MXU ...
+        tn = jnp.maximum(t - 1, 0)
+        dzA_next = dz_math(tn, A, dhA, s < T_blk - 1)   # ... || VPU
+        return dzA_next
+
+    jax.lax.fori_loop(0, T_blk, step, dzA0)
+    dh0_ref[:] = dh_scr[:]
+    dc0_ref[:] = dc_scr[:]
+
+
 def _forward_train_call(xz_t, rk, h0, c0):
     """Training forward: (h_seq, c_seq, z_seq) [T, B, .]. h/c are f32 (state
     contract + downstream heads); the z residual stream keeps xz's dtype —
@@ -375,7 +512,8 @@ def _forward_train_call(xz_t, rk, h0, c0):
     nb = pl.cdiv(B, block_b)
     nt = pl.cdiv(T, block_t)
     kernel = pl.pallas_call(
-        _lstm_seq_train_kernel,
+        _lstm_seq_train_kernel_ilv if _use_interleave(block_b, block_t)
+        else _lstm_seq_train_kernel,
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((block_t, block_b, H4), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
@@ -419,7 +557,9 @@ def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
     nt = pl.cdiv(T, block_t)
     rev = lambda b, t: (nt - 1 - t, b, 0)  # walk time blocks backward
     kernel = pl.pallas_call(
-        functools.partial(_lstm_bwd_kernel, nt),
+        functools.partial(
+            _lstm_bwd_kernel_ilv if _use_interleave(block_b, block_t)
+            else _lstm_bwd_kernel, nt),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((block_t, block_b, H4), rev, memory_space=pltpu.VMEM),

@@ -211,3 +211,46 @@ def test_padded_batch_blocks_match_xla(monkeypatch):
     for k in ga:
         np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_interleaved_kernels_match_xla(monkeypatch):
+    """Force blocks that select the interleaved (half-block MXU/VPU
+    pipelined) fwd + bwd kernels and pin forward AND gradients against the
+    XLA scan — the pipelined issue order must be numerically identical."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (32, 4),
+    )
+    assert pallas_lstm._use_interleave(32, 4)
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 8, 12))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (64, 16))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (64, 16))
+
+    ha, _ = lstm_sequence(p, x, h0, c0, backend="xla")
+    hb, _ = lstm_sequence(p, x, h0, c0, backend="pallas")
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-5, atol=1e-6)
+
+    def loss(p, x, h0, c0, backend):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+        return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
+
+    for argnums in [0, 1, 2, 3]:
+        ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
+        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_interleave_gate():
+    """bt=1 (cross-step pipeline degenerates), tiny/odd blocks -> plain
+    kernel; bt>=2 with even blocks >=32 -> interleaved."""
+    from classifying_vae_lstm_tpu.ops.pallas_lstm import _use_interleave
+
+    assert _use_interleave(200, 2)
+    assert _use_interleave(32, 16)
+    assert not _use_interleave(256, 1)
+    assert not _use_interleave(16, 4)
+    assert not _use_interleave(33, 4)
