@@ -105,6 +105,51 @@ def _lstm_seq_kernel(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, 
     jax.lax.fori_loop(0, T, step, 0)
 
 
+def _lstm_seq_kernel_ilv(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref,
+                         h_scr, c_scr):
+    """Interleaved (half-block MXU/VPU pipelined) inference forward — same
+    pipelining as :func:`_lstm_seq_train_kernel_ilv` without the z stream;
+    numerically identical to :func:`_lstm_seq_kernel`."""
+    T = xz_ref.shape[0]
+    hb = h_scr.shape[0] // 2
+    H = h0_ref.shape[-1]
+    h_scr[:] = h0_ref[:]
+    c_scr[:] = c0_ref[:]
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+    mm = lambda h: jnp.dot(h.astype(wt), rk_ref[:], preferred_element_type=f32,
+                           precision=prec)
+
+    def gates(z, c_prev):
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_prev + i * g
+        return o * jnp.tanh(c), c
+
+    zA0 = xz_ref[0, :hb].astype(f32) + mm(h_scr[:hb])
+
+    def step(t, zA):
+        zB = xz_ref[t, hb:].astype(f32) + mm(h_scr[hb:])   # MXU ...
+        hA, cA = gates(zA, c_scr[:hb])                     # ... || VPU
+        h_scr[:hb] = hA
+        c_scr[:hb] = cA
+        hseq_ref[t, :hb] = hA
+        cseq_ref[t, :hb] = cA
+        tn = jnp.minimum(t + 1, T - 1)
+        zA_next = xz_ref[tn, :hb].astype(f32) + mm(hA)     # MXU ...
+        hB, cB = gates(zB, c_scr[hb:])                     # ... || VPU
+        h_scr[hb:] = hB
+        c_scr[hb:] = cB
+        hseq_ref[t, hb:] = hB
+        cseq_ref[t, hb:] = cB
+        return zA_next
+
+    jax.lax.fori_loop(0, T, step, zA0)
+
+
 def _lstm_seq_kernel_tblocked(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, c_scr):
     """Grid (nb, nt): t-blocks iterate sequentially (innermost grid dim), so
     the (h, c) VMEM scratch carries across them — this is the double-buffered
@@ -144,6 +189,55 @@ def _lstm_seq_kernel_tblocked(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref
     jax.lax.fori_loop(0, T_blk, step, 0)
 
 
+def _lstm_seq_kernel_tblocked_ilv(xz_ref, rk_ref, h0_ref, c0_ref,
+                                  hseq_ref, cseq_ref, h_scr, c_scr):
+    """Interleaved variant of the t-blocked inference forward (same pipelining
+    as :func:`_lstm_seq_train_kernel_ilv`, no z stream; scratch carries (h, c)
+    across t-blocks exactly like :func:`_lstm_seq_kernel_tblocked`)."""
+    T_blk = xz_ref.shape[0]
+    hb = h_scr.shape[0] // 2
+    H = h_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+    mm = lambda h: jnp.dot(h.astype(wt), rk_ref[:], preferred_element_type=f32,
+                           precision=prec)
+
+    def gates(z, c_prev):
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_prev + i * g
+        return o * jnp.tanh(c), c
+
+    zA0 = xz_ref[0, :hb].astype(f32) + mm(h_scr[:hb])
+
+    def step(t, zA):
+        zB = xz_ref[t, hb:].astype(f32) + mm(h_scr[hb:])   # MXU ...
+        hA, cA = gates(zA, c_scr[:hb])                     # ... || VPU
+        h_scr[:hb] = hA
+        c_scr[:hb] = cA
+        hseq_ref[t, :hb] = hA
+        cseq_ref[t, :hb] = cA
+        tn = jnp.minimum(t + 1, T_blk - 1)
+        zA_next = xz_ref[tn, :hb].astype(f32) + mm(hA)     # MXU ...
+        hB, cB = gates(zB, c_scr[hb:])                     # ... || VPU
+        h_scr[hb:] = hB
+        c_scr[hb:] = cB
+        hseq_ref[t, hb:] = hB
+        cseq_ref[t, hb:] = cB
+        return zA_next
+
+    jax.lax.fori_loop(0, T_blk, step, zA0)
+
+
 def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = None):
     """xz_t: [T, B, 4H] time-major -> (h_seq, c_seq) [T, B, H].
 
@@ -155,7 +249,7 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = N
     nb = pl.cdiv(B, block_b)
     if block_t is None:
         kernel = pl.pallas_call(
-            _lstm_seq_kernel,
+            _lstm_seq_kernel_ilv if _use_interleave(block_b, T) else _lstm_seq_kernel,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((T, block_b, H4), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
@@ -181,7 +275,8 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = N
 
     nt = pl.cdiv(T, block_t)
     kernel = pl.pallas_call(
-        _lstm_seq_kernel_tblocked,
+        _lstm_seq_kernel_tblocked_ilv if _use_interleave(block_b, block_t)
+        else _lstm_seq_kernel_tblocked,
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((block_t, block_b, H4), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),

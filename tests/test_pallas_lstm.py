@@ -254,3 +254,34 @@ def test_interleave_gate():
     assert not _use_interleave(256, 1)
     assert not _use_interleave(16, 4)
     assert not _use_interleave(33, 4)
+
+
+def test_interleaved_inference_kernels_match_xla(monkeypatch):
+    """The inference forward (whole-T and t-blocked) interleaved variants
+    must match the XLA scan exactly, including a nonzero initial state and
+    t-block boundaries."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 8, 12))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (64, 16))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (64, 16))
+    ha, (hTa, cTa) = lstm_sequence(p, x, h0, c0, backend="xla")
+
+    # whole-T single-grid path
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (32, None),
+    )
+    hb_, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb_), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTb), rtol=1e-5, atol=1e-6)
+
+    # t-blocked path (scratch carry crosses t-block boundaries)
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (32, 4),
+    )
+    hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hc), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTc), rtol=1e-5, atol=1e-6)
