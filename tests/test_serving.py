@@ -530,3 +530,40 @@ def test_dynamic_batching_cl_vae_infer_w():
                            dynamic_batching=True, batch_window_ms=5.0)
     out = eng.generate(n=2, nsteps=16, infer_w=True)
     assert out.shape == (2, 16, 16)
+
+
+def test_dynamic_batching_composes_with_dp_mesh():
+    """Coalesced batches route through the shard_map DP sampler when the
+    coalesced bucket divides the data axis — the multi-chip serving story
+    and request coalescing are one path, not alternatives."""
+    from classifying_vae_lstm_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = cl_vrnn.Config(original_dim=16, intermediate_dim=12, latent_dim=2,
+                         seq_length=4, n_classes=3)
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    bank = (rng.random((6, 8, 16)) < 0.2).astype(np.float32)
+    mesh = make_mesh(n_data=8, n_model=1)
+    eng = GenerationEngine(params, cfg, bank, np.arange(6) % 3, mesh=mesh,
+                           dynamic_batching=True, batch_window_ms=500.0)
+    eng._batcher.max_songs = 16  # two 8-song requests -> one 16-song batch
+
+    outs, errors = {}, []
+
+    def client(name):
+        try:
+            outs[name] = eng.generate(n=8, nsteps=32)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    a = threading.Thread(target=client, args=("a",))
+    b = threading.Thread(target=client, args=("b",))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errors
+    for o in outs.values():
+        assert o.shape == (8, 32, 16)
+        assert set(np.unique(o)) <= {0.0, 1.0}
+    assert eng.stats["batches"] == 1  # coalesced into ONE device call
+    assert eng.stats["batched_songs"] == 16
