@@ -44,6 +44,20 @@ import jax.numpy as jnp
 # v5e public spec: 197 TFLOP/s bf16 peak, 819 GB/s HBM bandwidth
 PEAK_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9, "TPU v4": 1228e9,
            "TPU v6 lite": 1640e9, "TPU v6e": 1640e9}
+# VPU throughput estimate: 4 ALUs x (8, 128) lanes x ~940 MHz ~= 3.85e12
+# elementwise ops/s per core — the LSTM gate math (hard-sigmoids, two tanh,
+# cell update; ~15 elementwise passes over [B, H] per step per direction)
+# runs here, and its cost scales with B*H while the matmul scales with
+# B*H*4H, so below hidden ~1000 the kernels are VPU-bound, not MXU-bound.
+PEAK_VPU = 3.85e12
+GATE_PASSES_FWD = 15   # i/f/o hard-sigmoids, tanh(g), c update, tanh(c), h
+GATE_PASSES_BWD = 25   # gate grads, hard-sigmoid derivative masks, dz pack
+
+
+def _lstm_vpu_seconds(B, H):
+    """Analytic VPU floor for both LSTMs' fwd+bwd gate math."""
+    elems = B * T * H
+    return 2 * elems * (GATE_PASSES_FWD + GATE_PASSES_BWD) / PEAK_VPU
 
 T, D, L, K = 16, 88, 2, 10
 
@@ -187,7 +201,23 @@ def run_config(hid: int, batch: int):
             "adamwn_update": roof(0, opt_bytes, t_opt)
             | {"tflops": None, "share_of_step": round(t_opt / t_full, 3)},
             "lstm_fwd_bwd": roof(lstm_flops, lstm_bytes, t_lstm)
-            | {"share_of_step": round(t_lstm / t_full, 3)},
+            | {
+                "share_of_step": round(t_lstm / t_full, 3),
+                # three independent roofs; the binding one explains the gap
+                # between measured time and the FLOP roof alone
+                "vpu_roofline_seconds": round(_lstm_vpu_seconds(batch, hid), 6),
+                "serial_mxu_plus_vpu_seconds": round(
+                    lstm_flops / peak + _lstm_vpu_seconds(batch, hid), 6),
+                "binding": (
+                    # measured >> every throughput roof (flops, bytes, vpu):
+                    # the gap is the recurrence's serial latency — per-step
+                    # [block_b, H] matmuls are too small-M to hide MXU
+                    # latency, and the dependent gate math cannot overlap
+                    # its own matmul (see docs/KERNELS.md 2b)
+                    "recurrence-latency"
+                    if t_lstm > 1.4 * (lstm_flops / peak + _lstm_vpu_seconds(batch, hid))
+                    else "mxu-throughput"),
+            },
             "other_fwd_bwd": {
                 "seconds": round(t_grad - t_lstm, 6),
                 "share_of_step": round((t_grad - t_lstm) / t_full, 3),
