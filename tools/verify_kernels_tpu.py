@@ -51,6 +51,9 @@ def main():
         (200, 16, 98, 512, jnp.bfloat16, 0.08),   # the round-2 OOM shape
         (1024, 16, 98, 1024, jnp.bfloat16, 0.08),  # flagship scaled shape
         (500, 16, 98, 512, jnp.bfloat16, 0.08),    # no 8-aligned divisor
+        # (64, 4) blocks: the INTERLEAVED fwd AND bwd kernels (bt >= 2) —
+        # the small-batch regime where the half-block pipeline engages
+        (64, 16, 98, 512, jnp.bfloat16, 0.08),
     ]:
         p = init_lstm(jax.random.PRNGKey(0), IN, H)
         x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
