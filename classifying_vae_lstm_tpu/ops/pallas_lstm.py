@@ -64,6 +64,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Scoped-VMEM ceiling for the kernels (v5e has 128 MB physical VMEM/core; the
+# compiler's DEFAULT scoped limit is 16 MB). Block selection still targets the
+# measured-optimal ~14 MB budget in _pick_blocks — this only lifts the Mosaic
+# stack limit, which the backward kernel can overflow by ~0.6 MB when a fused
+# multi-step scan hands it differently-tiled operands (seen at H512/B1024
+# bf16 inside Trainer-style scanned epochs: "scoped vmem limit exceeded").
+_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
+
+
+def _compiler_params() -> pltpu.CompilerParams:
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -270,6 +283,7 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = N
                 pltpu.VMEM((block_b, H), jnp.float32),
             ],
             interpret=_interpret(),
+            compiler_params=_compiler_params(),
         )
         return kernel(xz_t, rk, h0, c0)
 
@@ -297,6 +311,7 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = N
             pltpu.VMEM((block_b, H), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )
     return kernel(xz_t, rk, h0, c0)
 
@@ -631,6 +646,7 @@ def _forward_train_call(xz_t, rk, h0, c0):
             pltpu.VMEM((block_b, H), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )
     return kernel(xz_t, rk, h0, c0)
 
@@ -679,6 +695,7 @@ def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
             pltpu.VMEM((block_b, H), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )
     return kernel(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t)
 

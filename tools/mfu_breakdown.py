@@ -8,7 +8,15 @@ moved against the chip's bf16 peak and HBM bandwidth) next to each:
 
   stage            how it is timed
   ---------------  -----------------------------------------------------------
-  full_step        Trainer.train_step (fwd + ELBO + bwd + AdamWN update)
+  full_step_fused  20 train steps scanned into ONE device program (how
+                   production runs — Trainer.train_epoch/train_epochs scan
+                   the step body), timed end to end and divided by 20.
+                   This is the number behind mfu_full_step.
+  full_step        Trainer.train_step dispatched per call. On this machine
+                   every dispatch crosses a remote-TPU tunnel (~27 ms RTT)
+                   and re-uploads a fresh PRNG key, so for short steps this
+                   measures host dispatch, not device time (CLAUDE.md timing
+                   gotchas) — kept for comparison as full_step_dispatched.
   loss_fwd_bwd     jax.value_and_grad of the loss alone (no optimizer)
   adamwn_update    opt.update + apply_updates on captured grads
   lstm_fwd_bwd     both LSTM recurrences (fwd+bwd) through the Pallas
@@ -60,6 +68,7 @@ def _lstm_vpu_seconds(B, H):
     return 2 * elems * (GATE_PASSES_FWD + GATE_PASSES_BWD) / PEAK_VPU
 
 T, D, L, K = 16, 88, 2, 10
+K_FUSED = 20  # steps per fused program (CPU smoke runs can shrink this)
 
 
 def _time_fn(fn, *args, n=20, **kwargs):
@@ -137,6 +146,40 @@ def run_config(hid: int, batch: int):
         jax.block_until_ready(m)
         t_full = min(t_full, (time.perf_counter() - t0) / 20)
 
+    # K steps fused into one program, like Trainer.train_epoch's scan: no
+    # per-step dispatch, no per-step host->device key upload. Each rep gets
+    # its own key set and threads (params, opt_state) through, so no two
+    # calls see identical inputs (jit result-dedup would fake the timing).
+    import optax
+
+    step_grad = jax.value_and_grad(
+        lambda p, b, k: loss_fn(p, b, k, one, one, one), has_aux=True)
+
+    def fused_steps(p, s, batch, keys):
+        def body(carry, k):
+            p, s = carry
+            (_, m), g = step_grad(p, batch, k)
+            u, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, u)
+            return (p, s), m
+
+        (p, s), ms = jax.lax.scan(body, (p, s), keys)
+        return p, s, jax.tree.map(jnp.mean, ms)
+
+    fused_jit = jax.jit(fused_steps, donate_argnums=(0, 1))
+    rep_keys = jax.random.split(jax.random.PRNGKey(11), 4 * K_FUSED).reshape(
+        4, K_FUSED, -1)
+    p = jax.tree.map(jnp.copy, params)
+    s = jax.tree.map(jnp.copy, opt_state)
+    p, s, m = fused_jit(p, s, data, rep_keys[0])
+    jax.block_until_ready(m)
+    t_fused = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        p, s, m = fused_jit(p, s, data, rep_keys[1 + r])
+        jax.block_until_ready(m)
+        t_fused = min(t_fused, (time.perf_counter() - t0) / K_FUSED)
+
     # fwd+bwd only
     grad_fn = jax.jit(jax.value_and_grad(lambda p, b, k: loss_fn(p, b, k, one, one, one)[0]))
     t_grad = _time_fn(grad_fn, params, data, jax.random.PRNGKey(2), n=20)
@@ -193,16 +236,28 @@ def run_config(hid: int, batch: int):
         "device_kind": kind,
         "peak_bf16_tflops": peak / 1e12,
         "hbm_bandwidth_gbs": bw / 1e9,
-        "mfu_full_step": round(step_flops / (t_full * peak), 4),
+        "mfu_full_step": round(step_flops / (t_fused * peak), 4),
+        "mfu_full_step_dispatched": round(step_flops / (t_full * peak), 4),
         "stages": {
-            "full_step": roof(step_flops, None or 0, t_full) | {"gbytes": None},
+            "full_step_fused": roof(step_flops, None or 0, t_fused)
+            | {"gbytes": None},
+            "full_step_dispatched": roof(step_flops, None or 0, t_full)
+            | {"gbytes": None},
             "loss_fwd_bwd": {"seconds": round(t_grad, 6),
-                             "share_of_step": round(t_grad / t_full, 3)},
+                             "share_of_step": round(t_grad / t_fused, 3)},
             "adamwn_update": roof(0, opt_bytes, t_opt)
-            | {"tflops": None, "share_of_step": round(t_opt / t_full, 3)},
+            | {
+                "tflops": None,
+                # standalone t_opt is dispatch-dominated (a tiny program per
+                # call through the tunnel); what the update actually adds
+                # inside the scanned step is fused-step minus grad-only:
+                "in_program_seconds": round(t_fused - t_grad, 6),
+                "share_of_step": round(
+                    max(t_fused - t_grad, 0.0) / t_fused, 3),
+            },
             "lstm_fwd_bwd": roof(lstm_flops, lstm_bytes, t_lstm)
             | {
-                "share_of_step": round(t_lstm / t_full, 3),
+                "share_of_step": round(t_lstm / t_fused, 3),
                 # three independent roofs; the binding one explains the gap
                 # between measured time and the FLOP roof alone
                 "vpu_roofline_seconds": round(_lstm_vpu_seconds(batch, hid), 6),
@@ -220,12 +275,12 @@ def run_config(hid: int, batch: int):
             },
             "other_fwd_bwd": {
                 "seconds": round(t_grad - t_lstm, 6),
-                "share_of_step": round((t_grad - t_lstm) / t_full, 3),
+                "share_of_step": round((t_grad - t_lstm) / t_fused, 3),
                 "what": "input projections, z/x heads, sampling, ELBO "
                         "reductions, dz->weight-grad matmuls",
             },
         },
-        "unattributed_seconds": round(t_full - t_grad - t_opt, 6),
+        "dispatch_overhead_seconds_per_step": round(t_full - t_fused, 6),
     }
     print(json.dumps(out, indent=2), flush=True)
     return out

@@ -82,6 +82,33 @@ def main():
         except Exception as e:  # OOM / Mosaic errors surface here
             check(name, False, repr(e)[:200])
 
+    # --- scanned-epoch regime: grad of the kernels inside a multi-step
+    # lax.scan with a donated carry (how Trainer.train_epoch compiles them).
+    # XLA hands the custom calls differently-tiled operands in this regime;
+    # at H512/B1024 bf16 that overflowed the default 16 MB scoped-VMEM stack
+    # by 0.6 MB (fixed by _compiler_params' vmem_limit_bytes) while the SAME
+    # shapes passed per-call above — so the sweep must compile this form too.
+    for B, IN, H in [(1024, 98, 512), (1024, 98, 1024)]:
+        name = f"lstm scanned-grad B{B} H{H} bf16"
+        try:
+            p = init_lstm(jax.random.PRNGKey(0), IN, H)
+            x = jax.random.normal(jax.random.PRNGKey(1), (B, 16, IN))
+
+            def scanned(p, x):
+                def body(carry, _):
+                    g = jax.grad(lambda q: jnp.mean(lstm_sequence(
+                        q, x, backend="pallas",
+                        compute_dtype=jnp.bfloat16)[0] ** 2))(carry)
+                    return jax.tree.map(lambda a, b: a - 1e-3 * b, carry, g), 0
+                out, _ = jax.lax.scan(body, p, None, length=2)
+                return out
+
+            out = jax.jit(scanned, donate_argnums=0)(p, x)
+            ok = all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))
+            check(name, ok)
+        except Exception as e:
+            check(name, False, repr(e)[:200])
+
     # --- fused generation: precision ladder + unaligned batch ---
     for B, H, bf16, mode_expect, tol in [
         (64, 512, True, "bf16", 5e-3),
