@@ -64,13 +64,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# Scoped-VMEM ceiling for the kernels (v5e has 128 MB physical VMEM/core; the
-# compiler's DEFAULT scoped limit is 16 MB). Block selection still targets the
-# measured-optimal ~14 MB budget in _pick_blocks — this only lifts the Mosaic
-# stack limit, which the backward kernel can overflow by ~0.6 MB when a fused
-# multi-step scan hands it differently-tiled operands (seen at H512/B1024
-# bf16 inside Trainer-style scanned epochs: "scoped vmem limit exceeded").
-_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
+# VMEM sizing. v5e has 128 MB physical VMEM/core; the compiler's DEFAULT
+# scoped limit is only 16 MB, and the original block budget (14 MB) was
+# chosen to fit under it. Lifting the limit via CompilerParams both fixes a
+# real OOM (the backward kernel overflowed the 16 MB stack by ~0.6 MB when a
+# fused multi-step scan handed it differently-tiled operands — seen at
+# H512/B1024 bf16 inside Trainer-style scanned epochs) and unlocks a bigger
+# block budget: at H1024/B1024 the old 14 MB budget forced (bb=64, bt=1) on
+# the train kernels — 256 sequential half-utilized-MXU matmuls — while
+# 28 MB admits (bb=256, bt=1), measured +4% fwd+bwd in the scanned-epoch
+# regime, and lets B200 keep a single full-dim batch block (+6-8% over the
+# old time-tiled picks). Fatter time blocks LOSE outright — see
+# _pick_blocks' prefer_bt1 and artifacts/vmem_budget_sweep.json.
+# `set_vmem_budget` lets the sweep tool (tools/exp_vmem_budget.py) measure
+# candidates; defaults hold the measured-best values.
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+_BLOCK_BUDGET_BYTES = 28 * 1024 * 1024
+_MAX_BLOCK_B = 256
+
+
+def set_vmem_budget(block_budget: int | None = None,
+                    limit: int | None = None,
+                    max_block_b: int | None = None) -> tuple[int, int, int]:
+    """Override the block-selection budget / Mosaic scoped-VMEM limit / bb cap.
+
+    Returns the previous (block_budget, limit, max_block_b). Block shapes are
+    picked at trace time, so callers must build a FRESH ``jax.jit`` wrapper
+    after changing these (cached traces keep their old blocks)."""
+    global _BLOCK_BUDGET_BYTES, _VMEM_LIMIT_BYTES, _MAX_BLOCK_B
+    prev = (_BLOCK_BUDGET_BYTES, _VMEM_LIMIT_BYTES, _MAX_BLOCK_B)
+    if block_budget is not None:
+        _BLOCK_BUDGET_BYTES = int(block_budget)
+    if limit is not None:
+        _VMEM_LIMIT_BYTES = int(limit)
+    if max_block_b is not None:
+        _MAX_BLOCK_B = int(max_block_b)
+    return prev
 
 
 def _compiler_params() -> pltpu.CompilerParams:
@@ -317,8 +346,9 @@ def _forward_kernel_call(xz_t, rk, h0, c0, block_b: int, block_t: int | None = N
 
 
 def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
-                 stream_bytes: int = 24, min_sublane: int = 8) -> tuple[int, int | None]:
-    """(block_b, block_t) from a ~14 MB VMEM budget (16 MB/core minus slack).
+                 stream_bytes: int = 24, min_sublane: int = 8,
+                 prefer_bt1: bool = False) -> tuple[int, int | None]:
+    """(block_b, block_t) from a VMEM byte budget (`_BLOCK_BUDGET_BYTES`).
 
     The resident recurrent weight costs ``H * 4H * rk_bytes_per_el``; the
     streamed blocks are double-buffered (x2). ``stream_bytes`` is the total
@@ -329,8 +359,22 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
     Selection order: the single-block fast path (grid (1,), reference regime),
     then the LARGEST batch block that fits — wide [bb, H] @ [H, 4H] matmuls
     are what feed the MXU (bb=128 fills its rows; preferring tiny-bb whole-T
-    kernels was measured 2.5x slower at H=1024 bf16) — preferring whole-T over
-    time-tiled at equal bb (one grid dim, no carry re-init).
+    kernels was measured 2.5x slower at H=1024 bf16).
+
+    The TIME-block preference splits by caller (on-hardware sweep under the
+    scanned-epoch protocol — artifacts/vmem_budget_sweep.json; per-dispatch
+    timings of the same kernels were 20-30x inflated AND rank-unstable):
+    - ``prefer_bt1=True`` (training fwd/bwd): largest bb that fits at bt=1,
+      full-dim B included. Every fatter time block LOST: at H1024/B1024 bf16
+      (256,1) beat (64,1) by 4% and (256,2) by 13%; at B200 the single
+      full-dim (200,1) block beat the old time-tiled/padded picks by 6-8%
+      despite its sublane misalignment. bb=512 measured == (256,1), so the
+      cap stays at 256. Streaming overlap at bt=1 beats the cross-step
+      interleave pipeline once batch blocks are MXU-wide.
+    - default (inference forward): whole-T over time-tiled at equal bb (one
+      grid dim, no carry re-init), then descending bt — multi-step blocks
+      enable the interleave pipeline that wins the small-batch inference
+      regime (artifacts/lstm_interleave_exp.json).
 
     ``min_sublane`` is the Mosaic sublane tile for the streamed dtype: blocks'
     second-to-last dim must be a multiple of 8 (f32) / 16 (bf16) unless it
@@ -339,7 +383,7 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
     aligned candidate always exists down to bb=min_sublane; B itself — a
     full-dim block — is the only sub-aligned shape Mosaic accepts).
     """
-    budget = 14 * 1024 * 1024
+    budget = _BLOCK_BUDGET_BYTES
     rk_cost = H * 4 * H * rk_bytes_per_el
     scratch = lambda bb: 4 * 2 * bb * H
     # time blocks must DIVIDE T: in the backward kernel the reversed grid
@@ -357,12 +401,16 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
         # harmless — this is what keeps e.g. B=500 (no 8-aligned divisor)
         # inside the VMEM budget instead of falling back to one 500-row block
         divs = (d for d in range(1, B + 1) if B % d == 0 and (d % sub == 0 or d == B))
-        pows = (p for p in (256, 128, 64, 32, 16, 8) if p < B and p % sub == 0)
+        pows = (p for p in (512, 256, 128, 64, 32, 16, 8) if p < B and p % sub == 0)
         return sorted(set(divs) | set(pows), reverse=True)
 
     def search(sub):
         for bb in candidates(sub):
-            if bb > 256:
+            if bb > _MAX_BLOCK_B:
+                continue
+            if prefer_bt1:
+                if rk_cost + 2 * (bb * stream_bytes * H) + scratch(bb) < budget:
+                    return bb, 1
                 continue
             if rk_cost + 2 * (T * bb * stream_bytes * H) + scratch(bb) < budget:
                 return bb, None  # whole-T at this bb
@@ -616,7 +664,8 @@ def _forward_train_call(xz_t, rk, h0, c0):
     # xz in (4H) + z out (4H) at stream dtype, h/c out (2H) f32
     stream_bytes = 8 * jnp.dtype(sd).itemsize + 8
     block_b, block_t = _pick_blocks(B, T, H, rk.dtype.itemsize, stream_bytes,
-                                    min_sublane=16 if jnp.dtype(sd).itemsize == 2 else 8)
+                                    min_sublane=16 if jnp.dtype(sd).itemsize == 2 else 8,
+                                    prefer_bt1=True)
     if block_t is None:
         block_t = T
     nb = pl.cdiv(B, block_b)
@@ -661,7 +710,8 @@ def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
     # z in + dz out (4H each) at stream dtype; c_prev/c/dh/dc (4H total) f32
     stream_bytes = 8 * jnp.dtype(sd).itemsize + 16
     block_b, block_t = _pick_blocks(B, T, H, rk_t.dtype.itemsize, stream_bytes,
-                                    min_sublane=16 if jnp.dtype(sd).itemsize == 2 else 8)
+                                    min_sublane=16 if jnp.dtype(sd).itemsize == 2 else 8,
+                                    prefer_bt1=True)
     if block_t is None:
         block_t = T
     nb = pl.cdiv(B, block_b)

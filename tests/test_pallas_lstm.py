@@ -127,7 +127,7 @@ def test_gradients_tblocked_matches_xla(monkeypatch):
 
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (8, 2),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
     )
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 12))
@@ -170,7 +170,7 @@ def test_gradients_bf16_tblocked(monkeypatch):
 
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (16, 2),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (16, 2),
     )
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 12))
@@ -194,7 +194,7 @@ def test_padded_batch_blocks_match_xla(monkeypatch):
 
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (8, 2),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
     )
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))  # 20 % 8 != 0
@@ -221,7 +221,7 @@ def test_interleaved_kernels_match_xla(monkeypatch):
 
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (32, 4),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (32, 4),
     )
     assert pallas_lstm._use_interleave(32, 4)
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
@@ -271,7 +271,7 @@ def test_interleaved_inference_kernels_match_xla(monkeypatch):
     # whole-T single-grid path
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (32, None),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (32, None),
     )
     hb_, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas")
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hb_), rtol=1e-5, atol=1e-6)
@@ -280,7 +280,7 @@ def test_interleaved_inference_kernels_match_xla(monkeypatch):
     # t-blocked path (scratch carry crosses t-block boundaries)
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8: (32, 4),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (32, 4),
     )
     hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas")
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hc), rtol=1e-5, atol=1e-6)
