@@ -105,7 +105,10 @@ def test_fused_generation_padded_batch_blocks(monkeypatch):
 def test_pick_mode_escalation():
     mk = lambda h, bf16: cl_vrnn.Config(intermediate_dim=h, bf16_compute=bf16)
     assert pallas_generate.pick_mode(mk(512, True)) == "bf16"
-    assert pallas_generate.pick_mode(mk(1024, True)) == "int8"
+    # bf16 weights stay resident through hidden 1024 under the 28 MB budget
+    # (scoped-VMEM limit lifted via CompilerParams); int8 extends to ~1536
+    assert pallas_generate.pick_mode(mk(1024, True)) == "bf16"
+    assert pallas_generate.pick_mode(mk(1536, True)) == "int8"
     assert pallas_generate.pick_mode(mk(2048, True)) is None
     assert pallas_generate.pick_mode(mk(256, False)) == "f32"
 

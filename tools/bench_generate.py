@@ -19,7 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20):
+def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20,
+        force_mode=None, skip_scans=False):
     import jax
     import jax.numpy as jnp
 
@@ -45,31 +46,41 @@ def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20):
         fn = lambda s, k, w: generate_cl_vrnn(params, cfg, s, nsteps, k, w)
         return jax.vmap(fn)(seeds, keys, ws)
 
-    variants = {
+    variants = {} if skip_scans else {
         "vmap_scan": vmap_scan,
         "batched_scan_noise": lambda: generate_cl_vrnn_batch_noise(
             params, cfg, seeds, nsteps, eps, u, ws),
     }
+    from classifying_vae_lstm_tpu.ops import pallas_generate as _pg
+    orig_pick = _pg.pick_mode
+    if force_mode is not None:
+        # pin the weight-precision mode (bf16-vs-int8 policy A/B at sizes
+        # where both fit VMEM); restored after the timing loop below
+        _pg.pick_mode = lambda cfg, _m=force_mode: _m
     if fits(cfg):
-        variants["pallas_fused"] = lambda: generate_cl_vrnn_batch_pallas(
+        tag = f"pallas_fused[{force_mode}]" if force_mode else "pallas_fused"
+        variants[tag] = lambda: generate_cl_vrnn_batch_pallas(
             params, cfg, seeds, nsteps, eps, u, ws)
 
     rows = []
-    for name, f in variants.items():
-        out = f(); jax.block_until_ready(out)  # compile
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = f()
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / n
-        rows.append({
-            "config": f"B{B} seed{Tseed}+{nsteps} H{H} {'bf16' if bf16 else 'f32'}",
-            "variant": name,
-            "ms": round(dt * 1e3, 3),
-            "songs_per_sec": round(B / dt, 1),
-            "note_cells_per_sec": round(B * nsteps * D / dt, 0),
-        })
-        print(json.dumps(rows[-1]))
+    try:
+        for name, f in variants.items():
+            out = f(); jax.block_until_ready(out)  # compile
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = f()
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / n
+            rows.append({
+                "config": f"B{B} seed{Tseed}+{nsteps} H{H} {'bf16' if bf16 else 'f32'}",
+                "variant": name,
+                "ms": round(dt * 1e3, 3),
+                "songs_per_sec": round(B / dt, 1),
+                "note_cells_per_sec": round(B * nsteps * D / dt, 0),
+            })
+            print(json.dumps(rows[-1]))
+    finally:
+        _pg.pick_mode = orig_pick
     return rows
 
 
@@ -78,8 +89,13 @@ def main():
     rows += run(32, 16, 64, 88)                      # reference/demo size
     rows += run(256, 16, 240, 512, bf16=True)        # scaled serving
     rows += run(64, 16, 240, 512, bf16=True)         # small batch at scale
-    rows += run(256, 16, 240, 768, bf16=True)        # largest bf16 fused size
-    rows += run(256, 16, 240, 1024, bf16=True)       # int8-weight mode
+    rows += run(256, 16, 240, 768, bf16=True)        # bf16 resident
+    rows += run(256, 16, 240, 1024, bf16=True)       # bf16 resident (28 MB budget)
+    # bf16-vs-int8 policy A/B at hidden 1024 (both fit; pick_mode prefers
+    # bf16 for accuracy — this row checks what that preference costs)
+    rows += run(256, 16, 240, 1024, bf16=True, force_mode="int8",
+                skip_scans=True)
+    rows += run(128, 16, 240, 1536, bf16=True)       # int8 escalation regime
     with open(os.path.join(REPO, "artifacts", "generate_bench.json"), "w") as f:
         json.dump(rows, f, indent=2)
 

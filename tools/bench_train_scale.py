@@ -6,6 +6,11 @@ the Pallas FORWARD kernel reaches 41% of peak (`bench_pallas_scale.py`).  This
 tool measures the full optimizer step (fwd + bwd + AdamWN) per backend so the
 training-path backend choice is settled by data, like the forward one was.
 
+Primary timing is Trainer.train_epoch — minibatch steps scanned into one
+device program (the production regime); per-dispatch train_step timing is
+kept as a secondary column (on this machine it measures the remote-TPU
+tunnel at small sizes, not the device).
+
 Usage: JAX_PLATFORMS=tpu python tools/bench_train_scale.py
 Writes artifacts/train_scale_bench.json.
 """
@@ -49,28 +54,48 @@ def bench_step(backend: str, batch: int, hid: int, seq: int = 16, n_steps: int =
     }
     batch_data["y"] = batch_data["x"]
     one = jnp.float32(1.0)
+
+    # Primary number: Trainer.train_epoch — n_steps minibatches scanned into
+    # ONE device program, exactly how production epochs compile. Per-dispatch
+    # step timing on this machine measures the remote-TPU tunnel, not the
+    # device (20-30x inflation at B200, ~10% session drift — CLAUDE.md
+    # timing gotchas), and once inverted the pallas/xla ranking at B200.
+    k_scan = min(n_steps, 8)
+    data = {k: jnp.concatenate([v] * k_scan, axis=0) for k, v in batch_data.items()}
+    params, opt_state, m = trainer.train_epoch(params, opt_state, data,
+                                               jax.random.PRNGKey(2), one, one, one)
+    jax.block_until_ready(m)  # compile
+    dt = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, m = trainer.train_epoch(params, opt_state, data,
+                                                   jax.random.PRNGKey(3 + i), one, one, one)
+        jax.block_until_ready(m)
+        dt = min(dt, (time.perf_counter() - t0) / k_scan)
+
+    # kept for continuity with earlier artifacts: per-dispatch train_step
     params, opt_state, m = trainer.train_step(params, opt_state, batch_data,
                                               jax.random.PRNGKey(2), one, one, one)
     jax.block_until_ready(m)  # compile
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, m = trainer.train_step(params, opt_state, batch_data,
-                                                  jax.random.PRNGKey(3 + i), one, one, one)
+                                                  jax.random.PRNGKey(30 + i), one, one, one)
     jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
+    dt_disp = (time.perf_counter() - t0) / n_steps
 
     sys.path.insert(0, REPO)
     from bench import _cl_vrnn_train_flops, _peak_flops
 
     flops = _cl_vrnn_train_flops(batch, seq, D, hid, L, K)
-    steps_per_sec = n_steps / dt
-    achieved = flops * steps_per_sec
+    achieved = flops / dt
     kind = jax.devices()[0].device_kind
     peak = _peak_flops(kind)
     row = {
         "config": f"B{batch} T{seq} H{hid} bf16 train-step",
         "backend": backend,
-        "us_per_step": round(dt / n_steps * 1e6, 1),
+        "us_per_step": round(dt * 1e6, 1),          # scanned-epoch regime
+        "us_per_step_dispatched": round(dt_disp * 1e6, 1),
         "achieved_tflops": round(achieved / 1e12, 2),
         "device_kind": kind,
     }

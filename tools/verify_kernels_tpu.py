@@ -112,7 +112,8 @@ def main():
     # --- fused generation: precision ladder + unaligned batch ---
     for B, H, bf16, mode_expect, tol in [
         (64, 512, True, "bf16", 5e-3),
-        (256, 1024, True, "int8", 0.08),
+        (256, 1024, True, "bf16", 5e-3),    # resident bf16 under 28 MB budget
+        (128, 1536, True, "int8", 0.08),    # escalation regime
         (20, 512, True, "bf16", 5e-3),      # padded batch blocks
     ]:
         cfg = cl_vrnn.Config(original_dim=88, intermediate_dim=H, latent_dim=2,
