@@ -24,6 +24,22 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORM_NAME"):
+    # Honor an explicit platform request even under ambient TPU plugins that
+    # pre-import jax and overwrite JAX_PLATFORMS in os.environ (the env-var
+    # selection path then reads the plugin's value, and a half-dead plugin
+    # backend can HANG initialization instead of failing over to CPU).
+    # JAX_PLATFORM_NAME survives such clobbering, and config.update works any
+    # time before first backend use.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORM_NAME"])
+    except RuntimeError:
+        pass  # backend already initialized — too late to redirect
+
 from . import data, models, nn, ops, optim, parallel, sampling, train, utils  # noqa: E402,F401
 
 
