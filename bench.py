@@ -33,6 +33,10 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+import classifying_vae_lstm_tpu  # noqa: E402,F401  — applies the JAX_PLATFORM_NAME
+# override before any backend init, so `JAX_PLATFORM_NAME=cpu python bench.py`
+# works even when an ambient TPU plugin has clobbered JAX_PLATFORMS.
 JSB = "/root/reference/data/input/JSB Chorales_all.pickle"
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
@@ -313,7 +317,44 @@ def bench_cpu_baseline(n_steps=12):
     return n_steps / (time.perf_counter() - t0)
 
 
+def _require_backend(timeout_s: float = 300.0, _init_fn=None) -> str | None:
+    """Device-backend name, or None if init hangs past ``timeout_s``.
+
+    A half-dead TPU tunnel can accept connections but never answer, hanging
+    backend init indefinitely; a bench that detects that and errors is
+    recoverable by the driver, one that hangs is not. Init runs in a daemon
+    thread so the timeout works even though jax's init is not interruptible.
+    ``_init_fn`` is a test seam (must set ``result['backend']`` on success).
+    """
+    import threading
+
+    result = {}
+
+    def init():
+        import jax
+
+        result["backend"] = jax.default_backend()
+
+    t = threading.Thread(target=_init_fn or init, daemon=True,
+                         kwargs={"result": result} if _init_fn else {})
+    t.start()
+    t.join(timeout_s)
+    return result.get("backend")
+
+
 def main():
+    timeout_s = float(os.environ.get("CVL_BENCH_INIT_TIMEOUT_S", "300"))
+    if _require_backend(timeout_s) is None:
+        print(json.dumps({
+            "metric": "cl_vrnn train steps/sec per chip (JSB-all, batch 200, seq 16)",
+            "value": 0,
+            "unit": "steps/sec",
+            "vs_baseline": 0,
+            "error": f"device backend init did not complete within {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable?)",
+        }))
+        # the hung init thread may hold runtime locks — hard-exit, not sys.exit
+        os._exit(1)
     env = _env_fingerprint()
     base = None
     if os.path.exists(BASELINE_CACHE):
