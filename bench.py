@@ -317,42 +317,50 @@ def bench_cpu_baseline(n_steps=12):
     return n_steps / (time.perf_counter() - t0)
 
 
-def _require_backend(timeout_s: float = 300.0, _init_fn=None) -> str | None:
-    """Device-backend name, or None if init hangs past ``timeout_s``.
+def _require_backend(timeout_s: float = 300.0, _init_fn=None) -> dict:
+    """Probe device-backend init under a watchdog.
 
-    A half-dead TPU tunnel can accept connections but never answer, hanging
-    backend init indefinitely; a bench that detects that and errors is
-    recoverable by the driver, one that hangs is not. Init runs in a daemon
-    thread so the timeout works even though jax's init is not interruptible.
-    ``_init_fn`` is a test seam (must set ``result['backend']`` on success).
+    Returns ``{'backend': name}`` on success, ``{'error': traceback}`` if init
+    raised, or ``{}`` if it is still hanging after ``timeout_s``. A half-dead
+    TPU tunnel can accept connections but never answer, hanging backend init
+    indefinitely; a bench that detects that and errors is recoverable by the
+    driver, one that hangs is not. Init runs in a daemon thread so the
+    timeout works even though jax's init is not interruptible. ``_init_fn``
+    is a test seam (must set ``result['backend']`` on success).
     """
     import threading
 
     result = {}
 
-    def init():
-        import jax
+    def init(result=result):
+        try:
+            import jax
 
-        result["backend"] = jax.default_backend()
+            result["backend"] = jax.default_backend()
+        except Exception as e:  # fast hard failure ≠ hang: report the cause
+            result["error"] = f"{type(e).__name__}: {e}"
 
     t = threading.Thread(target=_init_fn or init, daemon=True,
                          kwargs={"result": result} if _init_fn else {})
     t.start()
     t.join(timeout_s)
-    return result.get("backend")
+    return result
 
 
 def main():
     timeout_s = float(os.environ.get("CVL_BENCH_INIT_TIMEOUT_S", "300"))
-    if _require_backend(timeout_s) is None:
+    probe = _require_backend(timeout_s)
+    if "backend" not in probe:
         print(json.dumps({
             "metric": "cl_vrnn train steps/sec per chip (JSB-all, batch 200, seq 16)",
             "value": 0,
             "unit": "steps/sec",
             "vs_baseline": 0,
-            "error": f"device backend init did not complete within {timeout_s:.0f}s "
-                     "(TPU tunnel unreachable?)",
-        }))
+            "error": probe.get(
+                "error",
+                f"device backend init did not complete within {timeout_s:.0f}s "
+                "(TPU tunnel unreachable?)"),
+        }), flush=True)  # flush: os._exit skips interpreter io cleanup
         # the hung init thread may hold runtime locks — hard-exit, not sys.exit
         os._exit(1)
     env = _env_fingerprint()

@@ -33,12 +33,30 @@ if _os.environ.get("JAX_PLATFORM_NAME"):
     # backend can HANG initialization instead of failing over to CPU).
     # JAX_PLATFORM_NAME survives such clobbering, and config.update works any
     # time before first backend use.
+    # Precedence note: when both are set, JAX_PLATFORM_NAME wins for this
+    # package. The ambient-plugin environment exports JAX_PLATFORMS
+    # unconditionally (shell profile), so its presence carries no signal
+    # about user intent and warning on the conflict would fire on every
+    # documented `JAX_PLATFORM_NAME=cpu` run. The harmful misuse — a TPU
+    # measurement tool silently landing on CPU — is caught instead by
+    # `assert jax.default_backend() == "tpu"` in every TPU-only tool.
     import jax as _jax
 
     try:
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORM_NAME"])
     except RuntimeError:
-        pass  # backend already initialized — too late to redirect
+        # backend already initialized — too late to redirect; say so instead
+        # of silently running on whatever backend won the race
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"JAX_PLATFORM_NAME={_os.environ['JAX_PLATFORM_NAME']!r} was set but the "
+            "jax backend was already initialized before classifying_vae_lstm_tpu was "
+            "imported; the platform request is being IGNORED. Import this package "
+            "(or set jax.config.update('jax_platforms', ...)) before first device use.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 from . import data, models, nn, ops, optim, parallel, sampling, train, utils  # noqa: E402,F401
 

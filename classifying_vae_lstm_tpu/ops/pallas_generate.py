@@ -280,18 +280,25 @@ def _make_kernel_int8(Tseed: int, block_t: int, H: int, L: int, use_x_prev: bool
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "return_probs"))
+@functools.partial(jax.jit, static_argnames=("cfg", "nsteps", "return_probs", "mode"))
 def generate_cl_vrnn_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
-                                  return_probs: bool = False):
+                                  return_probs: bool = False,
+                                  mode: str | None = None):
     """Fused-kernel equivalent of ``generate_cl_vrnn_batch_noise``.
 
     x_seeds [B, Tseed, D]; eps [B, total, L]; u [B, total, D]; ws [B, K].
     Returns [B, nsteps, D] (post-seed frames; probs when ``return_probs``).
+
+    ``mode`` overrides the weight precision (``"f32"``/``"bf16"``/``"int8"``;
+    default: :func:`pick_mode`). It is a STATIC jit argument on purpose —
+    monkeypatching :func:`pick_mode` cannot force a precision once a trace
+    for the same shapes is cached, so benches/tests that A/B precisions must
+    pass it explicitly to get distinct cache entries.
     """
     B, Tseed, D = x_seeds.shape
     H, L = cfg.intermediate_dim, cfg.latent_dim
     total = Tseed + nsteps
-    mode = pick_mode(cfg)
+    mode = mode or pick_mode(cfg)
     if mode is None:
         raise ValueError("model does not fit the fused generation kernel's VMEM budget")
     wt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[mode]

@@ -113,32 +113,37 @@ def test_pick_mode_escalation():
     assert pallas_generate.pick_mode(mk(256, False)) == "f32"
 
 
-def test_fused_generation_int8_mode(monkeypatch):
+def test_fused_generation_int8_mode():
     """Int8-weight mode: per-column quantization error is bf16-order, so the
-    probabilities track the f32 XLA sampler closely and frames stay valid."""
-    monkeypatch.setattr(pallas_generate, "pick_mode", lambda cfg: "int8")
+    probabilities track the f32 XLA sampler closely and frames stay valid.
+
+    Mode is forced via the explicit static ``mode`` argument (NOT by patching
+    ``pick_mode``, which a cached trace for the same shapes would ignore) —
+    and the result must genuinely differ from the f32 kernel's, proving the
+    int8 path actually ran."""
     cfg, params, seeds, ws, eps, u, nsteps = _setup(B=8, Tseed=6, nsteps=12)
     ref_p = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws,
                                          return_probs=True)
     got_p = pallas_generate.generate_cl_vrnn_batch_pallas(
-        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True)
+        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True, mode="int8")
     d = np.abs(np.asarray(got_p) - np.asarray(ref_p))
     assert d.max() < 0.06 and d.mean() < 0.01, (d.max(), d.mean())
+    f32_p = pallas_generate.generate_cl_vrnn_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True, mode="f32")
+    assert np.abs(np.asarray(got_p) - np.asarray(f32_p)).max() > 1e-6
     got = pallas_generate.generate_cl_vrnn_batch_pallas(
-        params, cfg, seeds, nsteps, eps, u, ws)
+        params, cfg, seeds, nsteps, eps, u, ws, mode="int8")
     assert set(np.unique(np.asarray(got))) <= {0.0, 1.0}
 
 
-def test_int8_mode_on_trained_champion(monkeypatch):
+def test_int8_mode_on_trained_champion():
     """Int8 accuracy on REAL trained weights (the committed cl_vrnn champion),
     not just random init: probabilities stay close to the f32 sampler."""
-    import json
     import numpy as np
 
     from classifying_vae_lstm_tpu.cli import common
 
     params, cfg, margs = common.load_model("artifacts/jsball_vrnn4_ft.npz", "cl_vrnn")
-    monkeypatch.setattr(pallas_generate, "pick_mode", lambda cfg: "int8")
     B, Tseed, nsteps = 4, 16, 24
     rng = np.random.RandomState(0)
     seeds = jnp.asarray((rng.rand(B, Tseed, cfg.original_dim) < 0.1).astype(np.float32))
@@ -148,7 +153,7 @@ def test_int8_mode_on_trained_champion(monkeypatch):
     ref_p = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u, ws,
                                          return_probs=True)
     got_p = pallas_generate.generate_cl_vrnn_batch_pallas(
-        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True)
+        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True, mode="int8")
     d = np.abs(np.asarray(got_p) - np.asarray(ref_p))
     # free-running: a sampled-frame flip early shifts later frames in BOTH
     # samplers' state, so the raw gap compounds — bound it loosely
@@ -161,7 +166,7 @@ def test_int8_mode_on_trained_champion(monkeypatch):
     ref_q = generate_cl_vrnn_batch_noise(params, cfg, seeds, nsteps, eps, u1, ws,
                                          return_probs=True)
     got_q = pallas_generate.generate_cl_vrnn_batch_pallas(
-        params, cfg, seeds, nsteps, eps, u1, ws, return_probs=True)
+        params, cfg, seeds, nsteps, eps, u1, ws, return_probs=True, mode="int8")
     dq = np.abs(np.asarray(got_q) - np.asarray(ref_q))
     assert dq.mean() < 0.003, dq.mean()
     assert dq.max() < 0.06, dq.max()

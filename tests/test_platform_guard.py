@@ -42,7 +42,7 @@ def test_bench_require_backend_returns_backend():
     import bench
 
     # conftest pinned this process to CPU; init completes immediately
-    assert bench._require_backend(timeout_s=60.0) == "cpu"
+    assert bench._require_backend(timeout_s=60.0) == {"backend": "cpu"}
 
 
 def test_bench_require_backend_times_out_on_hung_init():
@@ -54,8 +54,31 @@ def test_bench_require_backend_times_out_on_hung_init():
         result["backend"] = "too_late"
 
     t0 = time.monotonic()
-    assert bench._require_backend(timeout_s=0.2, _init_fn=hung_init) is None
+    assert bench._require_backend(timeout_s=0.2, _init_fn=hung_init) == {}
     assert time.monotonic() - t0 < 5
+
+
+def test_bench_require_backend_reports_fast_failure(monkeypatch, capsys):
+    """A backend that errors out quickly is reported as its own error, not as
+    a watchdog timeout."""
+    sys.path.insert(0, REPO)
+    import json as _json
+
+    import bench
+
+    def failing_init(result):
+        result["error"] = "RuntimeError: no such platform"
+
+    monkeypatch.setattr(bench, "_require_backend",
+                        lambda *a, **k: {"error": "RuntimeError: no such platform"})
+    monkeypatch.setattr(bench.os, "_exit",
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    try:
+        bench.main()
+    except SystemExit:
+        pass
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["error"] == "RuntimeError: no such platform"
 
 
 def test_bench_main_emits_error_schema_on_timeout(monkeypatch, capsys):
@@ -67,7 +90,7 @@ def test_bench_main_emits_error_schema_on_timeout(monkeypatch, capsys):
     sys.path.insert(0, REPO)
     import bench
 
-    monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: {})
     exit_codes = []
     monkeypatch.setattr(bench.os, "_exit",
                         lambda code: (exit_codes.append(code),

@@ -53,6 +53,9 @@ def run(backend: str, B: int, T: int, IN: int, H: int, n: int = 30):
 
 
 def main():
+    import jax
+
+    assert jax.default_backend() == "tpu", "this bench must run on a real TPU"
     rows = []
     for B, T, IN, H in [(1024, 16, 98, 1024)]:
         for backend in ["xla", "pallas"]:

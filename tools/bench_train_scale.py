@@ -61,7 +61,9 @@ def bench_step(backend: str, batch: int, hid: int, seq: int = 16, n_steps: int =
     # device (20-30x inflation at B200, ~10% session drift — CLAUDE.md
     # timing gotchas), and once inverted the pallas/xla ranking at B200.
     k_scan = min(n_steps, 8)
-    data = {k: jnp.concatenate([v] * k_scan, axis=0) for k, v in batch_data.items()}
+    data = {k: jnp.concatenate([v] * k_scan, axis=0)
+            for k, v in batch_data.items() if k != "y"}
+    data["y"] = data["x"]  # keep the alias — a separate concat would double HBM
     params, opt_state, m = trainer.train_epoch(params, opt_state, data,
                                                jax.random.PRNGKey(2), one, one, one)
     jax.block_until_ready(m)  # compile
@@ -105,6 +107,9 @@ def bench_step(backend: str, batch: int, hid: int, seq: int = 16, n_steps: int =
 
 
 def main():
+    import jax
+
+    assert jax.default_backend() == "tpu", "this bench must run on a real TPU"
     rows = []
     # last rows probe the 'auto' policy boundary: pallas wins at every
     # hidden>=512 config measured, including the reference batch 200

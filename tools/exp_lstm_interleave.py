@@ -199,6 +199,9 @@ def run(H, B, T=16):
 
 
 if __name__ == "__main__":
+    import jax
+
+    assert jax.default_backend() == "tpu", "this experiment must run on a real TPU"
     rows = [run(512, 1024), run(1024, 1024), run(512, 200), run(768, 1024)]
     with open("artifacts/lstm_interleave_exp.json", "w") as f:
         json.dump(rows, f, indent=2)

@@ -287,6 +287,9 @@ def run_config(hid: int, batch: int):
 
 
 def main():
+    import jax
+
+    assert jax.default_backend() == "tpu", "this tool must run on a real TPU"
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str, default="1024,512")
     ap.add_argument("--batch", type=int, default=1024)
