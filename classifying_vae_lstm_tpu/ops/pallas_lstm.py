@@ -82,6 +82,36 @@ _VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 _BLOCK_BUDGET_BYTES = 28 * 1024 * 1024
 _MAX_BLOCK_B = 256
 
+# Experimental train-step fusions (opt-in via set_fusion until measured on
+# hardware — tools/exp_fused.py A/Bs them under the scanned-epoch protocol):
+# * _FUSE_PROJ: the training forward computes the input projection x @ W + b
+#   INSIDE the kernel (one [bt*bb, INp] @ [INp, 4H] MXU matmul per grid step,
+#   hoisted out of the serial recurrence) instead of reading a precomputed
+#   xz stream — eliminating the [T, B, 4H] xz HBM round-trip (134 MB each
+#   way at H1024/B1024 bf16) that the hoisted-XLA-projection design pays.
+# * _FUSE_DRK: the backward kernel accumulates the recurrent weight gradient
+#   drk += h_prev[t].T @ dz[t] step by step in VMEM — MXU work with no
+#   serial consumer, so it rides the latency bubbles the MFU breakdown
+#   measured (kernels at 55.5% of their FLOP roof, recurrence-latency
+#   bound) — instead of re-reading h_seq and dz_seq from HBM for a separate
+#   [H, B*T] @ [B*T, 4H] matmul after the kernel.
+_FUSE_PROJ = False
+_FUSE_DRK = False
+
+
+def set_fusion(proj: bool | None = None, drk: bool | None = None) -> tuple[bool, bool]:
+    """Toggle the experimental kernel fusions; returns the previous pair.
+
+    Fusion choices are baked in at trace time — build a fresh ``jax.jit``
+    wrapper after changing them (same caveat as :func:`set_vmem_budget`)."""
+    global _FUSE_PROJ, _FUSE_DRK
+    prev = (_FUSE_PROJ, _FUSE_DRK)
+    if proj is not None:
+        _FUSE_PROJ = bool(proj)
+    if drk is not None:
+        _FUSE_DRK = bool(drk)
+    return prev
+
 
 def set_vmem_budget(block_budget: int | None = None,
                     limit: int | None = None,
@@ -530,6 +560,51 @@ def _lstm_seq_train_kernel_ilv(xz_ref, rk_ref, h0_ref, c0_ref,
     jax.lax.fori_loop(0, T_blk, step, zA0)
 
 
+def _lstm_seq_train_kernel_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
+                              hseq_ref, cseq_ref, zseq_ref, h_scr, c_scr):
+    """Fused-projection training forward (_FUSE_PROJ): identical math to
+    :func:`_lstm_seq_train_kernel` except the input projection is computed
+    here from the raw x block — one [bt*bb, INp] @ [INp, 4H] MXU matmul per
+    grid step, OUTSIDE the serial recurrence loop (it has no h dependency),
+    then rounded to the stream dtype exactly where the XLA-hoisted path
+    rounds its xz stream, so the per-step numerics bit-match the unfused
+    kernel up to matmul tiling."""
+    T_blk, bb = x_ref.shape[0], x_ref.shape[1]
+    H = h_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+    sd = zseq_ref.dtype
+    xz = jnp.dot(x_ref[:].reshape(T_blk * bb, -1).astype(wt), w_ref[:],
+                 preferred_element_type=f32, precision=prec) + b_ref[:].astype(f32)
+    xz = xz.astype(sd).reshape(T_blk, bb, -1)
+
+    def step(t, _):
+        z = xz[t].astype(f32) + jnp.dot(
+            h_scr[:].astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
+        )
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_scr[:] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[:] = h
+        c_scr[:] = c
+        hseq_ref[t] = h
+        cseq_ref[t] = c
+        zseq_ref[t] = z.astype(sd)
+        return 0
+
+    jax.lax.fori_loop(0, T_blk, step, 0)
+
+
 def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
                      rkt_ref, dzseq_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
     """Reverse-time BPTT block: (dh, dc) live in VMEM scratch across all
@@ -654,6 +729,86 @@ def _lstm_bwd_kernel_ilv(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref
     dc0_ref[:] = dc_scr[:]
 
 
+def _lstm_bwd_kernel_drk(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
+                         dhseq_ref, dcseq_ref, rkt_ref,
+                         dzseq_ref, dh0_ref, dc0_ref, drk_ref, dh_scr, dc_scr):
+    """BPTT backward with the recurrent weight gradient fused in (_FUSE_DRK).
+
+    Same reverse walk as :func:`_lstm_bwd_kernel`, plus a resident [H, 4H]
+    f32 accumulator (the drk OUTPUT block — constant index map, so Mosaic
+    keeps it in VMEM across the whole grid and flushes once):
+    ``drk += h_prev[t].T @ dz[t]`` per step. That matmul has no serial
+    consumer inside the kernel — the scheduler slots it into the MXU bubbles
+    left by the dz/gate VPU math — and it replaces the separate
+    [H, B*T] @ [B*T, 4H] XLA matmul that re-reads h_seq and dz_seq from HBM.
+    Accumulation order differs from the big matmul (per-step f32 adds vs
+    XLA's K-chunked f32 adds) — same operand dtypes, reorder-level deltas.
+
+    Padded batch rows (cdiv grid) would corrupt the reduction, so when the
+    last block is padded (B % bb != 0) dz is masked to zero on out-of-range
+    rows before the accumulate."""
+    del nt
+    T_blk = zseq_ref.shape[0]
+    bb = dh_scr.shape[0]
+    H = dh_scr.shape[-1]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _zero_acc():
+        drk_ref[:] = jnp.zeros_like(drk_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    f32 = jnp.float32
+    wt = rkt_ref.dtype
+    prec = "highest" if wt == f32 else None
+    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
+    if B % bb != 0:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bb, 1), 0)
+        valid = (rows + bb * pl.program_id(0)) < B
+    else:
+        valid = None
+
+    def step(s, _):
+        t = T_blk - 1 - s
+        z = zseq_ref[t].astype(f32)
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        tanh_c = jnp.tanh(cseq_ref[t])
+
+        dh = dh_scr[:] + dhseq_ref[t]
+        dc = dc_scr[:] + dcseq_ref[t] + dh * o * (1 - tanh_c**2)
+        do = dh * tanh_c
+        di = dc * g
+        dg = dc * i
+        df = dc * cprev_ref[t]
+        dz = jnp.concatenate(
+            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
+        )
+        hp = hprev_ref[t]
+        if valid is not None:
+            # zero BOTH operands on padded rows: a zeroed dz alone still
+            # poisons the reduction when the padded h_prev garbage is
+            # non-finite (0 * nan = nan)
+            dz = jnp.where(valid, dz, 0.0)
+            hp = jnp.where(valid, hp, 0.0)
+        dzseq_ref[t] = dz.astype(dzseq_ref.dtype)
+        dh_scr[:] = jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32, precision=prec)
+        dc_scr[:] = dc * f
+        drk_ref[:] += jax.lax.dot_general(
+            hp.astype(wt), dz.astype(wt),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
+        return 0
+
+    jax.lax.fori_loop(0, T_blk, step, 0)
+    dh0_ref[:] = dh_scr[:]
+    dc0_ref[:] = dc_scr[:]
+
+
 def _forward_train_call(xz_t, rk, h0, c0):
     """Training forward: (h_seq, c_seq, z_seq) [T, B, .]. h/c are f32 (state
     contract + downstream heads); the z residual stream keeps xz's dtype —
@@ -698,6 +853,61 @@ def _forward_train_call(xz_t, rk, h0, c0):
         compiler_params=_compiler_params(),
     )
     return kernel(xz_t, rk, h0, c0)
+
+
+def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
+    """Fused-projection training forward: x_t [T, B, INp] (lane-padded),
+    w [INp, 4H] f32, b [1, 4H] f32 -> (h_seq, c_seq, z_seq).
+
+    Block policy matches :func:`_forward_train_call` (same budget, same
+    prefer_bt1) — the extra residents (W at the compute dtype, ~1 MB at
+    H1024 bf16, plus the per-block xz temp) ride the physical-VMEM headroom
+    above `_BLOCK_BUDGET_BYTES` rather than shrinking the measured-best
+    stream blocks (total stays well under `_VMEM_LIMIT_BYTES`)."""
+    T, B, INp = x_t.shape
+    H = rk.shape[0]
+    H4 = 4 * H
+    sd = x_t.dtype
+    sb = jnp.dtype(sd).itemsize
+    # x in (INp) + z out (4H) at stream dtype, h/c out (2H) f32
+    stream_bytes = 4 * sb + 8 + -(-INp * sb // H)
+    block_b, block_t = _pick_blocks(B, T, H, rk.dtype.itemsize, stream_bytes,
+                                    min_sublane=16 if sb == 2 else 8,
+                                    prefer_bt1=True)
+    if block_t is None:
+        block_t = T
+    nb = pl.cdiv(B, block_b)
+    nt = pl.cdiv(T, block_t)
+    kernel = pl.pallas_call(
+        _lstm_seq_train_kernel_fp,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((block_t, block_b, INp), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((INp, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b_, t: (b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b_, t: (b_, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_t, block_b, H), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H4), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), sd),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )
+    wt = rk.dtype
+    return kernel(x_t, w.astype(wt), b, rk, h0, c0)
 
 
 def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
@@ -750,6 +960,62 @@ def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
     return kernel(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t)
 
 
+def _backward_call_drk(z_seq, c_prev_seq, c_seq, h_prev_seq, dh_seq, dc_seq, rk_t):
+    """Fused-drk backward: additionally streams h_prev (at the stream dtype)
+    and returns ``(dz_seq, dh0, dc0, drk [H, 4H] f32)`` with the weight
+    gradient accumulated inside the kernel (see :func:`_lstm_bwd_kernel_drk`).
+
+    The [H, 4H] f32 accumulator (16 MB at H1024) is an extra resident on top
+    of rk.T; like the fused-projection weights it rides the physical-VMEM
+    headroom above the block budget instead of shrinking the stream blocks."""
+    T, B, H4 = z_seq.shape
+    H = H4 // 4
+    sd = z_seq.dtype
+    sb = jnp.dtype(sd).itemsize
+    # z in + dz out (4H each) + h_prev in (H) at stream dtype; c_prev/c/dh/dc f32
+    stream_bytes = 9 * sb + 16
+    block_b, block_t = _pick_blocks(B, T, H, rk_t.dtype.itemsize, stream_bytes,
+                                    min_sublane=16 if sb == 2 else 8,
+                                    prefer_bt1=True)
+    if block_t is None:
+        block_t = T
+    nb = pl.cdiv(B, block_b)
+    nt = pl.cdiv(T, block_t)
+    rev = lambda b, t: (nt - 1 - t, b, 0)
+    kernel = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel_drk, nt, B),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((block_t, block_b, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_t, block_b, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H4), sd),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )
+    return kernel(z_seq, c_prev_seq, c_seq, h_prev_seq, dh_seq, dc_seq, rk_t)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _lstm_pallas_core(xz_t, rk, h0, c0):
     # xz in (4H) at its own dtype, h/c out (2H) f32
@@ -767,30 +1033,87 @@ def _core_fwd(xz_t, rk, h0, c0):
     return (h_seq, c_seq), (rk, h0, c0, h_seq, c_seq, z_seq)
 
 
-def _core_bwd(res, grads):
-    """Pallas reverse-time BPTT + one big MXU matmul for the weight grad."""
-    rk, h0, c0, h_seq, c_seq, z_seq = res
-    dh_seq, dc_seq = grads
+def _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq, dh_seq, dc_seq):
+    """Shared backward: reverse-time kernel + recurrent weight gradient.
+
+    With ``_FUSE_DRK`` the weight gradient accumulates inside the kernel;
+    otherwise it is one big order-independent [H, B*T] @ [B*T, 4H] MXU
+    matmul over the saved hidden sequence. Returns (dz_seq, drk f32, dh0, dc0)."""
     T, B, H4 = z_seq.shape
     H = H4 // 4
     wt = rk.dtype
     prec = "highest" if wt == jnp.float32 else None
 
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
-    dz_seq, dh0, dc0 = _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq,
-                                      rk.T.astype(wt))
-    # order-independent weight gradient: one [H, B*T] @ [B*T, 4H] MXU matmul
-    # over the whole sequence (same compute dtype as the forward)
     h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
-    drk = jnp.dot(
-        h_prev_seq.reshape(T * B, H).T.astype(wt),
-        dz_seq.reshape(T * B, H4).astype(wt),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    return dz_seq, drk.astype(wt), dh0, dc0
+    if _FUSE_DRK:
+        dz_seq, dh0, dc0, drk = _backward_call_drk(
+            z_seq, c_prev_seq, c_seq, h_prev_seq.astype(z_seq.dtype),
+            dh_seq, dc_seq, rk.T.astype(wt))
+    else:
+        dz_seq, dh0, dc0 = _backward_call(z_seq, c_prev_seq, c_seq, dh_seq,
+                                          dc_seq, rk.T.astype(wt))
+        drk = jnp.dot(
+            h_prev_seq.reshape(T * B, H).T.astype(wt),
+            dz_seq.reshape(T * B, H4).astype(wt),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    return dz_seq, drk, dh0, dc0
+
+
+def _core_bwd(res, grads):
+    """Pallas reverse-time BPTT + the recurrent weight gradient."""
+    rk, h0, c0, h_seq, c_seq, z_seq = res
+    dh_seq, dc_seq = grads
+    dz_seq, drk, dh0, dc0 = _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq,
+                                          dh_seq, dc_seq)
+    return dz_seq, drk.astype(rk.dtype), dh0, dc0
 
 
 _lstm_pallas_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _lstm_pallas_core_fp(x_t, w, b, rk, h0, c0):
+    """Fused-projection core: x_t [T, B, INp] (lane-padded) at the stream
+    dtype, w [INp, 4H] f32, b [1, 4H] f32. The primal (inference) path keeps
+    the hoisted-XLA-projection design — the fusion targets TRAINING, where
+    it eliminates the xz stream between the projection and the kernel; the
+    projection backward stays XLA (dW/dx/db from the streamed dz_seq)."""
+    wt = rk.dtype
+    prec = "highest" if wt == jnp.float32 else None
+    xz = (jnp.dot(x_t.astype(wt), w.astype(wt), preferred_element_type=jnp.float32,
+                  precision=prec) + b).astype(x_t.dtype)
+    return _lstm_pallas_core(xz, rk, h0, c0)
+
+
+def _core_fp_fwd(x_t, w, b, rk, h0, c0):
+    h_seq, c_seq, z_seq = _forward_train_call_fp(x_t, w, b, rk, h0, c0)
+    return (h_seq, c_seq), (x_t, w, rk, h0, c0, h_seq, c_seq, z_seq)
+
+
+def _core_fp_bwd(res, grads):
+    x_t, w, rk, h0, c0, h_seq, c_seq, z_seq = res
+    dh_seq, dc_seq = grads
+    T, B, H4 = z_seq.shape
+    INp = x_t.shape[-1]
+    wt = rk.dtype
+    prec = "highest" if wt == jnp.float32 else None
+    dz_seq, drk, dh0, dc0 = _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq,
+                                          dh_seq, dc_seq)
+    dzf = dz_seq.reshape(T * B, H4)
+    # projection backward: order-independent MXU matmuls, exactly what XLA
+    # autodiff of the hoisted projection runs in the unfused path
+    dw = jnp.dot(x_t.reshape(T * B, INp).T.astype(wt), dzf.astype(wt),
+                 preferred_element_type=jnp.float32, precision=prec)
+    db = dzf.astype(jnp.float32).sum(axis=0, keepdims=True)
+    dx = jnp.dot(dzf.astype(wt), w.T.astype(wt),
+                 preferred_element_type=jnp.float32,
+                 precision=prec).reshape(T, B, INp).astype(x_t.dtype)
+    return dx, dw, db, drk.astype(wt), dh0, dc0
+
+
+_lstm_pallas_core_fp.defvjp(_core_fp_fwd, _core_fp_bwd)
 
 
 def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
@@ -806,6 +1129,24 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
             f"hidden dim {H}: recurrent weight does not fit the kernel's VMEM "
             "budget — use the XLA backend (resolve_lstm_backend 'auto' gates "
             "on rk_fits_vmem)")
+    if _FUSE_PROJ:
+        # experimental: the projection moves INSIDE the training kernel
+        # (per-block, off the serial chain); inference still hoists it.
+        # x and W are zero-padded to a 128-lane contraction dim — sub-128
+        # lanes on a matmul operand get scalarized by Mosaic (CLAUDE.md).
+        sd = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32
+        rk = params["recurrent_kernel"].astype(sd)
+        IN = x.shape[-1]
+        INp = -(-IN // 128) * 128
+        x_t = jnp.swapaxes(x.astype(sd), 0, 1)
+        w = params["kernel"].astype(jnp.float32)
+        if INp != IN:
+            x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, INp - IN)))
+            w = jnp.pad(w, ((0, INp - IN), (0, 0)))
+        b = params["bias"].astype(jnp.float32).reshape(1, -1)
+        h_seq, c_seq = _lstm_pallas_core_fp(x_t, w, b, rk, h0, c0)
+        return jnp.swapaxes(h_seq, 0, 1), (h_seq[-1], c_seq[-1])
+
     # the FLOP-heavy input projection stays a single large XLA matmul
     if compute_dtype is not None:
         # the xz stream itself travels in compute_dtype (f32 accumulation in

@@ -285,3 +285,98 @@ def test_interleaved_inference_kernels_match_xla(monkeypatch):
     hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas")
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hc), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTc), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_proj_matches_xla(monkeypatch):
+    """_FUSE_PROJ: the training forward computes x @ W + b inside the kernel
+    (lane-padded to 128); forward, every grad, and the inference primal must
+    match the XLA scan. Forces multi-block grids plus a PADDED batch block."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))  # 20 % 8 != 0
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (20, 16))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (20, 16))
+
+    ha, (hTa, cTa) = lstm_sequence(p, x, h0, c0, backend="xla")
+    hb, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTb), rtol=1e-5, atol=1e-6)
+
+    def loss(p, x, h0, c0, backend):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+        return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
+
+    for argnums in [0, 1, 2, 3]:
+        ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
+        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_fused_drk_matches_xla(monkeypatch):
+    """_FUSE_DRK: the backward kernel accumulates the recurrent weight grad
+    across b-blocks AND reversed t-blocks; a padded batch block exercises the
+    out-of-range row mask that protects the reduction."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (20, 16))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (20, 16))
+
+    def loss(p, x, h0, c0, backend):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+        return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
+
+    for argnums in [0, 1, 2, 3]:
+        ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
+        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_fused_both_bf16_close_to_f32(monkeypatch):
+    """Both fusions together in the bf16 stream mode (the scaled training
+    configuration they target): grads stay close to the f32 XLA scan."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
+    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (16, 1),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 12))
+
+    def loss(p, backend, cd):
+        h, _ = lstm_sequence(p, x, backend=backend, compute_dtype=cd)
+        return jnp.mean(h**2)
+
+    ga = jax.grad(loss)(p, "xla", None)
+    gb = jax.grad(loss)(p, "pallas", jnp.bfloat16)
+    for k in ga:
+        a, b = np.asarray(ga[k], np.float32), np.asarray(gb[k], np.float32)
+        assert np.all(np.abs(a - b) <= 0.05 * np.abs(a).max() + 1e-4), k
+
+
+def test_set_fusion_roundtrip():
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    prev = pallas_lstm.set_fusion(proj=True, drk=True)
+    assert prev == (False, False)
+    assert pallas_lstm.set_fusion(proj=prev[0], drk=prev[1]) == (True, True)
+    assert (pallas_lstm._FUSE_PROJ, pallas_lstm._FUSE_DRK) == (False, False)

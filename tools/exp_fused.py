@@ -1,0 +1,128 @@
+"""A/B the experimental kernel fusions (set_fusion) on real TPU.
+
+Two candidate train-step fusions (ops/pallas_lstm.py):
+* proj — input projection computed inside the training forward kernel
+  (kills the [T, B, 4H] xz HBM round-trip between the hoisted matmul and
+  the kernel);
+* drk  — recurrent weight gradient accumulated inside the backward kernel
+  (kills the separate [H, B*T] @ [B*T, 4H] matmul and its h_seq/dz_seq
+  re-reads; the per-step accumulate rides the measured latency bubbles).
+
+Protocol: the scanned-epoch regime (CLAUDE.md kernel timing protocol — K=30
+chained grad steps in ONE device program, best of 3; per-dispatch A/Bs on
+this tunnel are 20-30x inflated and rank-unstable). All four combinations
+per config, same process.
+
+Usage: python tools/exp_fused.py          (real TPU, ~10 min)
+Writes artifacts/fused_kernel_exp.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+T = 16
+IN = 98
+
+
+def time_grad(B: int, H: int, k: int = 30) -> float:
+    """Per-step seconds for the pallas train fwd+bwd grad, dispatch-free
+    (K chained steps inside one jitted lax.scan, best of 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+
+    params = init_lstm(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+
+    def many(p, x):
+        def body(c, _):
+            g = jax.grad(lambda q: jnp.mean(lstm_sequence(
+                q, x, backend="pallas", compute_dtype=jnp.bfloat16)[0] ** 2))(c)
+            return jax.tree.map(lambda a, b: a - 1e-3 * b, c, g), 0
+        return jax.lax.scan(body, p, None, length=k)[0]
+
+    jitted = jax.jit(many)  # fresh wrapper: fusion flags bake in at trace
+    p = jitted(params, x)
+    jax.block_until_ready(p)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p = jitted(p, x)
+        jax.block_until_ready(p)
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def check_numerics(B: int, H: int) -> float:
+    """Max relative grad deviation vs the XLA scan at this config (quick
+    sanity alongside the timing; the full sweep lives in
+    verify_kernels_tpu.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+
+    p = init_lstm(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+
+    def g(backend):
+        return jax.jit(jax.grad(lambda q: jnp.mean(lstm_sequence(
+            q, x, backend=backend, compute_dtype=jnp.bfloat16)[0] ** 2)))(p)
+
+    ga, gb = g("xla"), g("pallas")
+    worst = 0.0
+    for k in ga:
+        a = np.asarray(ga[k], np.float32)
+        b = np.asarray(gb[k], np.float32)
+        worst = max(worst, float(np.abs(a - b).max() / (np.abs(a).max() + 1e-9)))
+    return worst
+
+
+def main():
+    import jax
+
+    from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
+
+    assert jax.default_backend() == "tpu", "this A/B must run on a real TPU"
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    rows = []
+    for B, H in [(1024, 1024), (1024, 512), (200, 512)]:
+        fl = 3 * 2 * B * T * (IN + H) * 4 * H  # fwd + ~2x bwd matmul FLOPs
+        base = None
+        for proj, drk in [(False, False), (True, False), (False, True), (True, True)]:
+            pk.set_fusion(proj=proj, drk=drk)
+            row = {"config": f"B{B} H{H} bf16", "proj": proj, "drk": drk}
+            try:
+                sec = time_grad(B, H)
+                row.update(fwdbwd_us=round(sec * 1e6, 1),
+                           tflops=round(fl / sec / 1e12, 2),
+                           rel_grad_dev=round(check_numerics(B, H), 5))
+                if not proj and not drk:
+                    base = sec
+                elif base:
+                    row["speedup_vs_unfused"] = round(base / sec, 3)
+            except Exception as e:
+                row["error"] = repr(e)[:300]
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+        pk.set_fusion(proj=False, drk=False)
+
+    with open(os.path.join(REPO, "artifacts", "fused_kernel_exp.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    print("wrote artifacts/fused_kernel_exp.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

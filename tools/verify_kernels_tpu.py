@@ -111,6 +111,35 @@ def main():
         except Exception as e:
             check(name, False, repr(e)[:200])
 
+    # --- experimental train-step fusions (set_fusion): fused-projection
+    # forward + fused-drk backward, together, at the flagship shape and an
+    # UNALIGNED batch (exercises the padded-row mask guarding the in-kernel
+    # drk reduction). Grad-vs-XLA like the rows above.
+    from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
+
+    for B, IN, H in [(1024, 98, 1024), (500, 98, 512)]:
+        name = f"lstm fused proj+drk B{B} H{H} bf16"
+        prev = pk.set_fusion(proj=True, drk=True)
+        try:
+            p = init_lstm(jax.random.PRNGKey(0), IN, H)
+            x = jax.random.normal(jax.random.PRNGKey(1), (B, 16, IN))
+
+            def gfn(p, backend):
+                return jax.grad(lambda q: jnp.mean(lstm_sequence(
+                    q, x, backend=backend, compute_dtype=jnp.bfloat16)[0] ** 2))(p)
+
+            ga = jax.jit(functools.partial(gfn, backend="xla"))(p)
+            gb = jax.jit(functools.partial(gfn, backend="pallas"))(p)
+            ok = all(
+                np.allclose(np.asarray(ga[k], np.float32), np.asarray(gb[k], np.float32),
+                            rtol=0.08, atol=0.08 * float(np.abs(np.asarray(ga[k])).max() + 1e-6))
+                for k in ga)
+            check(name, ok)
+        except Exception as e:
+            check(name, False, repr(e)[:200])
+        finally:
+            pk.set_fusion(proj=prev[0], drk=prev[1])
+
     # --- fused generation: precision ladder + unaligned batch. The None
     # rows exercise pick_mode's auto selection; the explicit-mode rows pin
     # the static `mode` jit argument (the only sound way to A/B precisions —
