@@ -97,8 +97,10 @@ def main():
     assert jax.default_backend() == "tpu", "this A/B must run on a real TPU"
     print(f"backend: {jax.default_backend()}", flush=True)
 
+    phases = set(sys.argv[1:]) or {"grad", "fullstep"}
+
     rows = []
-    for B, H in [(1024, 1024), (1024, 512), (200, 512)]:
+    for B, H in [(1024, 1024), (1024, 512), (200, 512)] if "grad" in phases else []:
         fl = 3 * 2 * B * T * (IN + H) * 4 * H  # fwd + ~2x bwd matmul FLOPs
         base = None
         for proj, drk in [(False, False), (True, False), (False, True), (True, True)]:
@@ -118,6 +120,25 @@ def main():
             print(json.dumps(row), flush=True)
             rows.append(row)
         pk.set_fusion(proj=False, drk=False)
+
+    # Full cl_vrnn optimizer step (the adoption metric — the fusions also
+    # change what XLA schedules OUTSIDE the kernels), scanned-epoch regime
+    # via bench_train_scale.bench_step.
+    if "fullstep" in phases:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_train_scale import bench_step
+
+        for B, H in [(1024, 1024), (1024, 512)]:
+            for proj, drk in [(False, False), (True, False), (False, True), (True, True)]:
+                pk.set_fusion(proj=proj, drk=drk)
+                row = {"phase": "fullstep", "proj": proj, "drk": drk}
+                try:
+                    row.update(bench_step("pallas", B, H))
+                except Exception as e:
+                    row["error"] = repr(e)[:300]
+                print(json.dumps(row), flush=True)
+                rows.append(row)
+            pk.set_fusion(proj=False, drk=False)
 
     with open(os.path.join(REPO, "artifacts", "fused_kernel_exp.json"), "w") as f:
         json.dump(rows, f, indent=1)
