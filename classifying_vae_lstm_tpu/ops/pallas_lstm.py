@@ -560,6 +560,98 @@ def _lstm_seq_train_kernel_ilv(xz_ref, rk_ref, h0_ref, c0_ref,
     jax.lax.fori_loop(0, T_blk, step, zA0)
 
 
+def _lstm_seq_kernel_tblocked_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
+                                 hseq_ref, cseq_ref, h_scr, c_scr):
+    """Fused-projection inference forward (t-blocked; nt=1 covers whole-T):
+    :func:`_lstm_seq_kernel_tblocked` with the input projection computed
+    in-kernel from the raw x block — same rounding point as the unfused
+    kernel's xz stream, so numerics match it exactly."""
+    T_blk, bb = x_ref.shape[0], x_ref.shape[1]
+    H = h_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+    xz = jnp.dot(x_ref[:].reshape(T_blk * bb, -1).astype(wt), w_ref[:],
+                 preferred_element_type=f32, precision=prec) + b_ref[:].astype(f32)
+    xz = xz.astype(x_ref.dtype).reshape(T_blk, bb, -1)
+
+    def step(t, _):
+        z = xz[t].astype(f32) + jnp.dot(
+            h_scr[:].astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
+        )
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_scr[:] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[:] = h
+        c_scr[:] = c
+        hseq_ref[t] = h
+        cseq_ref[t] = c
+        return 0
+
+    jax.lax.fori_loop(0, T_blk, step, 0)
+
+
+def _lstm_seq_kernel_tblocked_fp_ilv(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
+                                     hseq_ref, cseq_ref, h_scr, c_scr):
+    """Interleaved fused-projection inference forward: the half-block
+    MXU/VPU pipeline of :func:`_lstm_seq_kernel_tblocked_ilv` reading the
+    in-kernel xz instead of a streamed one."""
+    T_blk, bb = x_ref.shape[0], x_ref.shape[1]
+    hb = h_scr.shape[0] // 2
+    H = h_scr.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    f32 = jnp.float32
+    wt = rk_ref.dtype
+    prec = "highest" if wt == f32 else None
+    mm = lambda h: jnp.dot(h.astype(wt), rk_ref[:], preferred_element_type=f32,
+                           precision=prec)
+    xz_all = jnp.dot(x_ref[:].reshape(T_blk * bb, -1).astype(wt), w_ref[:],
+                     preferred_element_type=f32, precision=prec) + b_ref[:].astype(f32)
+    xz_all = xz_all.astype(x_ref.dtype).reshape(T_blk, bb, -1)
+
+    def gates(z, c_prev):
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        c = f * c_prev + i * g
+        return o * jnp.tanh(c), c
+
+    zA0 = xz_all[0, :hb].astype(f32) + mm(h_scr[:hb])
+
+    def step(t, zA):
+        zB = xz_all[t, hb:].astype(f32) + mm(h_scr[hb:])   # MXU ...
+        hA, cA = gates(zA, c_scr[:hb])                     # ... || VPU
+        h_scr[:hb] = hA
+        c_scr[:hb] = cA
+        hseq_ref[t, :hb] = hA
+        cseq_ref[t, :hb] = cA
+        tn = jnp.minimum(t + 1, T_blk - 1)
+        zA_next = xz_all[tn, :hb].astype(f32) + mm(hA)     # MXU ...
+        hB, cB = gates(zB, c_scr[hb:])                     # ... || VPU
+        h_scr[hb:] = hB
+        c_scr[hb:] = cB
+        hseq_ref[t, hb:] = hB
+        cseq_ref[t, hb:] = cB
+        return zA_next
+
+    jax.lax.fori_loop(0, T_blk, step, zA0)
+
+
 def _lstm_seq_train_kernel_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
                               hseq_ref, cseq_ref, zseq_ref, h_scr, c_scr):
     """Fused-projection training forward (_FUSE_PROJ): identical math to
@@ -910,6 +1002,54 @@ def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
     return kernel(x_t, w.astype(wt), b, rk, h0, c0)
 
 
+def _forward_kernel_call_fp(x_t, w, b, rk, h0, c0):
+    """Fused-projection INFERENCE forward -> (h_seq, c_seq). Same block
+    policy as the unfused inference path (whole-T preferred, then descending
+    bt with the interleave pipeline); whole-T runs as the t-blocked grid
+    with nt=1."""
+    T, B, INp = x_t.shape
+    H = rk.shape[0]
+    H4 = 4 * H
+    sd = x_t.dtype
+    sb = jnp.dtype(sd).itemsize
+    # x in (INp) at stream dtype, h/c out (2H) f32
+    stream_bytes = 8 + -(-INp * sb // H)
+    block_b, block_t = _pick_blocks(B, T, H, rk.dtype.itemsize, stream_bytes,
+                                    min_sublane=16 if sb == 2 else 8)
+    if block_t is None:
+        block_t = T
+    nb = pl.cdiv(B, block_b)
+    nt = pl.cdiv(T, block_t)
+    kernel = pl.pallas_call(
+        _lstm_seq_kernel_tblocked_fp_ilv if _use_interleave(block_b, block_t)
+        else _lstm_seq_kernel_tblocked_fp,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((block_t, block_b, INp), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((INp, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b_, t: (b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b_, t: (b_, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_t, block_b, H), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )
+    return kernel(x_t, w.astype(rk.dtype), b, rk, h0, c0)
+
+
 def _backward_call(z_seq, c_prev_seq, c_seq, dh_seq, dc_seq, rk_t):
     """(dz_seq [T, B, 4H], dh0 [B, H], dc0 [B, H]). dz keeps z's stream
     dtype — it only feeds bf16-operand matmuls downstream (drk and the
@@ -1076,15 +1216,10 @@ _lstm_pallas_core.defvjp(_core_fwd, _core_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _lstm_pallas_core_fp(x_t, w, b, rk, h0, c0):
     """Fused-projection core: x_t [T, B, INp] (lane-padded) at the stream
-    dtype, w [INp, 4H] f32, b [1, 4H] f32. The primal (inference) path keeps
-    the hoisted-XLA-projection design — the fusion targets TRAINING, where
-    it eliminates the xz stream between the projection and the kernel; the
-    projection backward stays XLA (dW/dx/db from the streamed dz_seq)."""
-    wt = rk.dtype
-    prec = "highest" if wt == jnp.float32 else None
-    xz = (jnp.dot(x_t.astype(wt), w.astype(wt), preferred_element_type=jnp.float32,
-                  precision=prec) + b).astype(x_t.dtype)
-    return _lstm_pallas_core(xz, rk, h0, c0)
+    dtype, w [INp, 4H] f32, b [1, 4H] f32. Both the primal (inference) and
+    the vjp forward compute the projection in-kernel; the projection
+    backward stays XLA (dW/dx/db from the streamed dz_seq)."""
+    return _forward_kernel_call_fp(x_t, w, b, rk, h0, c0)
 
 
 def _core_fp_fwd(x_t, w, b, rk, h0, c0):

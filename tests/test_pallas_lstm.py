@@ -380,3 +380,34 @@ def test_set_fusion_roundtrip():
     assert prev == (False, False)
     assert pallas_lstm.set_fusion(proj=prev[0], drk=prev[1]) == (True, True)
     assert (pallas_lstm._FUSE_PROJ, pallas_lstm._FUSE_DRK) == (False, False)
+
+
+def test_fused_proj_inference_interleaved(monkeypatch):
+    """_FUSE_PROJ inference forward through the interleaved fp kernel
+    (blocks spanning >= 2 steps engage the half-block pipeline) and the
+    plain fp kernel (whole-T as nt=1) — both must match the XLA scan."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 8, 12))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (64, 16))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (64, 16))
+    ha, (hTa, cTa) = lstm_sequence(p, x, h0, c0, backend="xla")
+
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (32, 4),
+    )
+    assert pallas_lstm._use_interleave(32, 4)
+    hb_, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb_), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTb), rtol=1e-5, atol=1e-6)
+
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (64, None),
+    )
+    hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hc), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTc), rtol=1e-5, atol=1e-6)

@@ -97,7 +97,7 @@ def main():
     assert jax.default_backend() == "tpu", "this A/B must run on a real TPU"
     print(f"backend: {jax.default_backend()}", flush=True)
 
-    phases = set(sys.argv[1:]) or {"grad", "fullstep"}
+    phases = set(sys.argv[1:]) or {"grad", "fwd", "fullstep"}
 
     rows = []
     for B, H in [(1024, 1024), (1024, 512), (200, 512)] if "grad" in phases else []:
@@ -120,6 +120,43 @@ def main():
             print(json.dumps(row), flush=True)
             rows.append(row)
         pk.set_fusion(proj=False, drk=False)
+
+    # Inference forward (evaluate/serve path): proj fusion only.
+    if "fwd" in phases:
+        import jax.numpy as jnp
+
+        from classifying_vae_lstm_tpu.nn.core import init_lstm
+        from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+
+        for B, H in [(1024, 1024), (1024, 512)]:
+            params = init_lstm(jax.random.PRNGKey(0), IN, H)
+            x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+            for proj in [False, True]:
+                pk.set_fusion(proj=proj, drk=False)
+
+                def many(p, x, k=30):
+                    def body(c, _):
+                        h, _ = lstm_sequence(p, x, backend="pallas",
+                                             compute_dtype=jnp.bfloat16)
+                        # chain via the bias so steps cannot dedup
+                        c = dict(c, bias=c["bias"] + 1e-6 * h.mean())
+                        return c, 0
+                    return jax.lax.scan(body, p, None, length=k)[0]
+
+                jitted = jax.jit(many)
+                p = jitted(params, x)
+                jax.block_until_ready(p)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    p = jitted(p, x)
+                    jax.block_until_ready(p)
+                    best = min(best, (time.perf_counter() - t0) / 30)
+                row = {"phase": "fwd", "config": f"B{B} H{H} bf16",
+                       "proj": proj, "fwd_us": round(best * 1e6, 1)}
+                print(json.dumps(row), flush=True)
+                rows.append(row)
+            pk.set_fusion(proj=False, drk=False)
 
     # Full cl_vrnn optimizer step (the adoption metric — the fusions also
     # change what XLA schedules OUTSIDE the kernels), scanned-epoch regime
