@@ -95,21 +95,32 @@ _MAX_BLOCK_B = 256
 #   measured (kernels at 55.5% of their FLOP roof, recurrence-latency
 #   bound) — instead of re-reading h_seq and dz_seq from HBM for a separate
 #   [H, B*T] @ [B*T, 4H] matmul after the kernel.
+# * _FUSE_BWD_FULL (needs proj+drk): the backward kernel additionally folds
+#   in dW += x[t].T @ dz, db += sum(dz), and dx[t] = dz @ W.T — dz's only
+#   remaining consumers — so the [T, B, 4H] dz stream never leaves the
+#   kernel at all (replaced by the 32x-smaller dx stream) and the external
+#   projection-backward matmul passes disappear.
 _FUSE_PROJ = False
 _FUSE_DRK = False
+_FUSE_BWD_FULL = False
 
 
-def set_fusion(proj: bool | None = None, drk: bool | None = None) -> tuple[bool, bool]:
-    """Toggle the experimental kernel fusions; returns the previous pair.
+def set_fusion(proj: bool | None = None, drk: bool | None = None,
+               full: bool | None = None) -> tuple[bool, bool, bool]:
+    """Toggle the experimental kernel fusions; returns the previous triple.
 
     Fusion choices are baked in at trace time — build a fresh ``jax.jit``
-    wrapper after changing them (same caveat as :func:`set_vmem_budget`)."""
-    global _FUSE_PROJ, _FUSE_DRK
-    prev = (_FUSE_PROJ, _FUSE_DRK)
+    wrapper after changing them (same caveat as :func:`set_vmem_budget`).
+    ``full`` only takes effect on the fused-projection training path and
+    implies the drk fusion there."""
+    global _FUSE_PROJ, _FUSE_DRK, _FUSE_BWD_FULL
+    prev = (_FUSE_PROJ, _FUSE_DRK, _FUSE_BWD_FULL)
     if proj is not None:
         _FUSE_PROJ = bool(proj)
     if drk is not None:
         _FUSE_DRK = bool(drk)
+    if full is not None:
+        _FUSE_BWD_FULL = bool(full)
     return prev
 
 
@@ -901,6 +912,90 @@ def _lstm_bwd_kernel_drk(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
     dc0_ref[:] = dc_scr[:]
 
 
+def _lstm_bwd_kernel_full(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
+                          xseq_ref, dhseq_ref, dcseq_ref, rkt_ref, wt_ref,
+                          dxseq_ref, dh0_ref, dc0_ref, drk_ref, dw_ref, db_ref,
+                          dh_scr, dc_scr):
+    """Fully-fused BPTT backward (_FUSE_BWD_FULL): :func:`_lstm_bwd_kernel_drk`
+    plus the projection backward folded in — dW += x[t].T @ dz and
+    db += sum(dz) accumulate in resident f32 blocks, and dx[t] = dz @ W.T
+    streams out in dz's place. dz therefore never touches HBM (its four
+    consumers — drk, dW, db, dx — are all computed here); the extra matmuls
+    are bubble-riders with no serial consumer, like the drk one."""
+    del nt
+    T_blk = zseq_ref.shape[0]
+    bb = dh_scr.shape[0]
+    H = dh_scr.shape[-1]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _zero_acc():
+        drk_ref[:] = jnp.zeros_like(drk_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    f32 = jnp.float32
+    wt = rkt_ref.dtype
+    prec = "highest" if wt == f32 else None
+    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
+    if B % bb != 0:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bb, 1), 0)
+        valid = (rows + bb * pl.program_id(0)) < B
+    else:
+        valid = None
+    colsum = lambda m: jax.lax.dot_general(
+        jnp.ones((1, bb), f32), m, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec)
+
+    def step(s, _):
+        t = T_blk - 1 - s
+        z = zseq_ref[t].astype(f32)
+        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+        g = jnp.tanh(z[:, 2 * H : 3 * H])
+        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+        tanh_c = jnp.tanh(cseq_ref[t])
+
+        dh = dh_scr[:] + dhseq_ref[t]
+        dc = dc_scr[:] + dcseq_ref[t] + dh * o * (1 - tanh_c**2)
+        do = dh * tanh_c
+        di = dc * g
+        dg = dc * i
+        df = dc * cprev_ref[t]
+        dz = jnp.concatenate(
+            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
+        )
+        hp = hprev_ref[t]
+        xp = xseq_ref[t]
+        if valid is not None:
+            dz = jnp.where(valid, dz, 0.0)
+            hp = jnp.where(valid, hp, 0.0)
+            xp = jnp.where(valid, xp, 0.0)
+        # serial chain
+        dh_scr[:] = jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32, precision=prec)
+        dc_scr[:] = dc * f
+        # bubble-riders (no serial consumer)
+        dxseq_ref[t] = jnp.dot(dz.astype(wt), wt_ref[:],
+                               preferred_element_type=f32,
+                               precision=prec).astype(dxseq_ref.dtype)
+        drk_ref[:] += jax.lax.dot_general(
+            hp.astype(wt), dz.astype(wt),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
+        dw_ref[:] += jax.lax.dot_general(
+            xp.astype(wt), dz.astype(wt),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
+        db_ref[:] += colsum(dz)
+        return 0
+
+    jax.lax.fori_loop(0, T_blk, step, 0)
+    dh0_ref[:] = dh_scr[:]
+    dc0_ref[:] = dc_scr[:]
+
+
 def _forward_train_call(xz_t, rk, h0, c0):
     """Training forward: (h_seq, c_seq, z_seq) [T, B, .]. h/c are f32 (state
     contract + downstream heads); the z residual stream keeps xz's dtype —
@@ -1156,6 +1251,69 @@ def _backward_call_drk(z_seq, c_prev_seq, c_seq, h_prev_seq, dh_seq, dc_seq, rk_
     return kernel(z_seq, c_prev_seq, c_seq, h_prev_seq, dh_seq, dc_seq, rk_t)
 
 
+def _backward_call_full(z_seq, c_prev_seq, c_seq, h_prev_seq, x_t, dh_seq,
+                        dc_seq, rk_t, w_t):
+    """Fully-fused backward: returns ``(dx_t, dh0, dc0, drk, dw, db)`` with
+    every gradient term computed inside the kernel (dz never leaves VMEM).
+    x_t/w_t are the lane-padded raw input stream and transposed projection
+    weight; dw/db come back f32 at the padded width."""
+    T, B, H4 = z_seq.shape
+    H = H4 // 4
+    INp = x_t.shape[-1]
+    sd = z_seq.dtype
+    sb = jnp.dtype(sd).itemsize
+    # z in (4H) + hprev in (H) at stream dtype, x in + dx out (INp each, in
+    # H units) at stream dtype; cprev/c/dh/dc (4H total) f32
+    stream_bytes = 5 * sb + 16 + 2 * -(-INp * sb // H)
+    block_b, block_t = _pick_blocks(B, T, H, rk_t.dtype.itemsize, stream_bytes,
+                                    min_sublane=16 if sb == 2 else 8,
+                                    prefer_bt1=True)
+    if block_t is None:
+        block_t = T
+    nb = pl.cdiv(B, block_b)
+    nt = pl.cdiv(T, block_t)
+    rev = lambda b, t: (nt - 1 - t, b, 0)
+    kernel = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel_full, nt, B),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((block_t, block_b, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, INp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, INp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_t, block_b, INp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((INp, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, INp), sd),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((INp, H4), jnp.float32),
+            jax.ShapeDtypeStruct((1, H4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )
+    return kernel(z_seq, c_prev_seq, c_seq, h_prev_seq, x_t, dh_seq, dc_seq,
+                  rk_t, w_t)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _lstm_pallas_core(xz_t, rk, h0, c0):
     # xz in (4H) at its own dtype, h/c out (2H) f32
@@ -1234,6 +1392,13 @@ def _core_fp_bwd(res, grads):
     INp = x_t.shape[-1]
     wt = rk.dtype
     prec = "highest" if wt == jnp.float32 else None
+    if _FUSE_BWD_FULL:
+        c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+        h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
+        dx, dh0, dc0, drk, dw, db = _backward_call_full(
+            z_seq, c_prev_seq, c_seq, h_prev_seq.astype(z_seq.dtype), x_t,
+            dh_seq, dc_seq, rk.T.astype(wt), w.T.astype(wt))
+        return dx, dw, db, drk.astype(wt), dh0, dc0
     dz_seq, drk, dh0, dc0 = _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq,
                                           dh_seq, dc_seq)
     dzf = dz_seq.reshape(T * B, H4)

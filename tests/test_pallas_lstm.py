@@ -376,10 +376,40 @@ def test_fused_both_bf16_close_to_f32(monkeypatch):
 def test_set_fusion_roundtrip():
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    prev = pallas_lstm.set_fusion(proj=True, drk=True)
-    assert prev == (False, False)
-    assert pallas_lstm.set_fusion(proj=prev[0], drk=prev[1]) == (True, True)
-    assert (pallas_lstm._FUSE_PROJ, pallas_lstm._FUSE_DRK) == (False, False)
+    prev = pallas_lstm.set_fusion(proj=True, drk=True, full=True)
+    assert prev == (False, False, False)
+    assert pallas_lstm.set_fusion(*prev) == (True, True, True)
+    assert (pallas_lstm._FUSE_PROJ, pallas_lstm._FUSE_DRK,
+            pallas_lstm._FUSE_BWD_FULL) == (False, False, False)
+
+
+def test_fused_bwd_full_matches_xla(monkeypatch):
+    """_FUSE_BWD_FULL: dW/db/dx/drk all computed inside the backward kernel
+    (dz never leaves VMEM); every grad must match the XLA scan, including a
+    padded batch block (mask covers dz AND the hprev/x matmul operands)."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
+    monkeypatch.setattr(pallas_lstm, "_FUSE_BWD_FULL", True)
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))  # 20 % 8 != 0
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (20, 16))
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (20, 16))
+
+    def loss(p, x, h0, c0, backend):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+        return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
+
+    for argnums in [0, 1, 2, 3]:
+        ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
+        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
 
 
 def test_fused_proj_inference_interleaved(monkeypatch):

@@ -1,12 +1,14 @@
 """A/B the experimental kernel fusions (set_fusion) on real TPU.
 
-Two candidate train-step fusions (ops/pallas_lstm.py):
+Three candidate train-step fusions (ops/pallas_lstm.py):
 * proj — input projection computed inside the training forward kernel
   (kills the [T, B, 4H] xz HBM round-trip between the hoisted matmul and
-  the kernel);
+  the kernel); also fuses the inference forward's projection;
 * drk  — recurrent weight gradient accumulated inside the backward kernel
   (kills the separate [H, B*T] @ [B*T, 4H] matmul and its h_seq/dz_seq
-  re-reads; the per-step accumulate rides the measured latency bubbles).
+  re-reads; the per-step accumulate rides the measured latency bubbles);
+* full — the backward kernel additionally folds in dW/db/dx, so dz never
+  leaves VMEM at all (requires proj; implies drk).
 
 Protocol: the scanned-epoch regime (CLAUDE.md kernel timing protocol — K=30
 chained grad steps in ONE device program, best of 3; per-dispatch A/Bs on
@@ -103,9 +105,12 @@ def main():
     for B, H in [(1024, 1024), (1024, 512), (200, 512)] if "grad" in phases else []:
         fl = 3 * 2 * B * T * (IN + H) * 4 * H  # fwd + ~2x bwd matmul FLOPs
         base = None
-        for proj, drk in [(False, False), (True, False), (False, True), (True, True)]:
-            pk.set_fusion(proj=proj, drk=drk)
-            row = {"config": f"B{B} H{H} bf16", "proj": proj, "drk": drk}
+        for proj, drk, full in [(False, False, False), (True, False, False),
+                                (False, True, False), (True, True, False),
+                                (True, True, True)]:
+            pk.set_fusion(proj=proj, drk=drk, full=full)
+            row = {"config": f"B{B} H{H} bf16", "proj": proj, "drk": drk,
+                   "full": full}
             try:
                 sec = time_grad(B, H)
                 row.update(fwdbwd_us=round(sec * 1e6, 1),
@@ -119,7 +124,7 @@ def main():
                 row["error"] = repr(e)[:300]
             print(json.dumps(row), flush=True)
             rows.append(row)
-        pk.set_fusion(proj=False, drk=False)
+        pk.set_fusion(proj=False, drk=False, full=False)
 
     # Inference forward (evaluate/serve path): proj fusion only.
     if "fwd" in phases:
@@ -156,7 +161,7 @@ def main():
                        "proj": proj, "fwd_us": round(best * 1e6, 1)}
                 print(json.dumps(row), flush=True)
                 rows.append(row)
-            pk.set_fusion(proj=False, drk=False)
+            pk.set_fusion(proj=False, drk=False, full=False)
 
     # Full cl_vrnn optimizer step (the adoption metric — the fusions also
     # change what XLA schedules OUTSIDE the kernels), scanned-epoch regime
@@ -166,16 +171,18 @@ def main():
         from bench_train_scale import bench_step
 
         for B, H in [(1024, 1024), (1024, 512)]:
-            for proj, drk in [(False, False), (True, False), (False, True), (True, True)]:
-                pk.set_fusion(proj=proj, drk=drk)
-                row = {"phase": "fullstep", "proj": proj, "drk": drk}
+            for proj, drk, full in [(False, False, False), (True, True, False),
+                                    (True, True, True)]:
+                pk.set_fusion(proj=proj, drk=drk, full=full)
+                row = {"phase": "fullstep", "proj": proj, "drk": drk,
+                       "full": full}
                 try:
                     row.update(bench_step("pallas", B, H))
                 except Exception as e:
                     row["error"] = repr(e)[:300]
                 print(json.dumps(row), flush=True)
                 rows.append(row)
-            pk.set_fusion(proj=False, drk=False)
+            pk.set_fusion(proj=False, drk=False, full=False)
 
     with open(os.path.join(REPO, "artifacts", "fused_kernel_exp.json"), "w") as f:
         json.dump(rows, f, indent=1)

@@ -117,9 +117,10 @@ def main():
     # drk reduction). Grad-vs-XLA like the rows above.
     from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
 
-    for B, IN, H in [(1024, 98, 1024), (500, 98, 512)]:
-        name = f"lstm fused proj+drk B{B} H{H} bf16"
-        prev = pk.set_fusion(proj=True, drk=True)
+    for B, IN, H, full in [(1024, 98, 1024, False), (500, 98, 512, False),
+                           (1024, 98, 1024, True), (500, 98, 512, True)]:
+        name = f"lstm fused proj+drk{'+full' if full else ''} B{B} H{H} bf16"
+        prev = pk.set_fusion(proj=True, drk=True, full=full)
         try:
             p = init_lstm(jax.random.PRNGKey(0), IN, H)
             x = jax.random.normal(jax.random.PRNGKey(1), (B, 16, IN))
@@ -138,7 +139,7 @@ def main():
         except Exception as e:
             check(name, False, repr(e)[:200])
         finally:
-            pk.set_fusion(proj=prev[0], drk=prev[1])
+            pk.set_fusion(*prev)
 
     # --- fused generation: precision ladder + unaligned batch. The None
     # rows exercise pick_mode's auto selection; the explicit-mode rows pin
