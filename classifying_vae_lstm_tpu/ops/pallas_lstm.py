@@ -664,14 +664,18 @@ def _lstm_seq_kernel_tblocked_fp_ilv(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref
 
 
 def _lstm_seq_train_kernel_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
-                              hseq_ref, cseq_ref, zseq_ref, h_scr, c_scr):
+                              hseq_ref, cseq_ref, zseq_ref,
+                              hprevseq_ref, cprevseq_ref, h_scr, c_scr):
     """Fused-projection training forward (_FUSE_PROJ): identical math to
-    :func:`_lstm_seq_train_kernel` except the input projection is computed
-    here from the raw x block — one [bt*bb, INp] @ [INp, 4H] MXU matmul per
-    grid step, OUTSIDE the serial recurrence loop (it has no h dependency),
-    then rounded to the stream dtype exactly where the XLA-hoisted path
-    rounds its xz stream, so the per-step numerics bit-match the unfused
-    kernel up to matmul tiling."""
+    :func:`_lstm_seq_train_kernel` except (a) the input projection is
+    computed here from the raw x block — one [bt*bb, INp] @ [INp, 4H] MXU
+    matmul per grid step, OUTSIDE the serial recurrence loop (it has no h
+    dependency), then rounded to the stream dtype exactly where the
+    XLA-hoisted path rounds its xz stream, so the per-step numerics
+    bit-match the unfused kernel up to matmul tiling; and (b) the PREVIOUS
+    (h, c) state streams out too, straight from scratch — the backward
+    consumes h_prev/c_prev sequences, and emitting them here replaces two
+    external [T, B, H] concat materialization passes with VMEM writes."""
     T_blk, bb = x_ref.shape[0], x_ref.shape[1]
     H = h_scr.shape[-1]
 
@@ -689,14 +693,18 @@ def _lstm_seq_train_kernel_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
     xz = xz.astype(sd).reshape(T_blk, bb, -1)
 
     def step(t, _):
+        h_prev = h_scr[:]
+        c_prev = c_scr[:]
+        hprevseq_ref[t] = h_prev.astype(hprevseq_ref.dtype)
+        cprevseq_ref[t] = c_prev
         z = xz[t].astype(f32) + jnp.dot(
-            h_scr[:].astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
+            h_prev.astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
         )
         i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
         f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
         g = jnp.tanh(z[:, 2 * H : 3 * H])
         o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
-        c = f * c_scr[:] + i * g
+        c = f * c_prev + i * g
         h = o * jnp.tanh(c)
         h_scr[:] = h
         c_scr[:] = c
@@ -1056,8 +1064,8 @@ def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
     H4 = 4 * H
     sd = x_t.dtype
     sb = jnp.dtype(sd).itemsize
-    # x in (INp) + z out (4H) at stream dtype, h/c out (2H) f32
-    stream_bytes = 4 * sb + 8 + -(-INp * sb // H)
+    # x in (INp) + z/hprev out (5H) at stream dtype, h/c/cprev out (3H) f32
+    stream_bytes = 5 * sb + 12 + -(-INp * sb // H)
     block_b, block_t = _pick_blocks(B, T, H, rk.dtype.itemsize, stream_bytes,
                                     min_sublane=16 if sb == 2 else 8,
                                     prefer_bt1=True)
@@ -1065,11 +1073,12 @@ def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
         block_t = T
     nb = pl.cdiv(B, block_b)
     nt = pl.cdiv(T, block_t)
+    seq = lambda b_, t: (t, b_, 0)
     kernel = pl.pallas_call(
         _lstm_seq_train_kernel_fp,
         grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((block_t, block_b, INp), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, INp), seq, memory_space=pltpu.VMEM),
             pl.BlockSpec((INp, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
@@ -1077,14 +1086,18 @@ def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
             pl.BlockSpec((block_b, H), lambda b_, t: (b_, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block_t, block_b, H), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, block_b, H), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, block_b, H4), lambda b_, t: (t, b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H4), seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_b, H), seq, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H4), sd),
+            jax.ShapeDtypeStruct((T, B, H), sd),       # h_prev stream
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),  # c_prev stream
         ),
         scratch_shapes=[
             pltpu.VMEM((block_b, H), jnp.float32),
@@ -1381,26 +1394,38 @@ def _lstm_pallas_core_fp(x_t, w, b, rk, h0, c0):
 
 
 def _core_fp_fwd(x_t, w, b, rk, h0, c0):
-    h_seq, c_seq, z_seq = _forward_train_call_fp(x_t, w, b, rk, h0, c0)
-    return (h_seq, c_seq), (x_t, w, rk, h0, c0, h_seq, c_seq, z_seq)
+    h_seq, c_seq, z_seq, hp_seq, cp_seq = _forward_train_call_fp(
+        x_t, w, b, rk, h0, c0)
+    # the PREV sequences come out of the kernel (h0/c0 embedded as row 0), so
+    # the backward needs no concat materialization passes — and h_seq itself
+    # is not a residual at all
+    return (h_seq, c_seq), (x_t, w, rk, hp_seq, cp_seq, c_seq, z_seq)
 
 
 def _core_fp_bwd(res, grads):
-    x_t, w, rk, h0, c0, h_seq, c_seq, z_seq = res
+    x_t, w, rk, hp_seq, cp_seq, c_seq, z_seq = res
     dh_seq, dc_seq = grads
     T, B, H4 = z_seq.shape
+    H = H4 // 4
     INp = x_t.shape[-1]
     wt = rk.dtype
     prec = "highest" if wt == jnp.float32 else None
     if _FUSE_BWD_FULL:
-        c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
-        h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
         dx, dh0, dc0, drk, dw, db = _backward_call_full(
-            z_seq, c_prev_seq, c_seq, h_prev_seq.astype(z_seq.dtype), x_t,
+            z_seq, cp_seq, c_seq, hp_seq, x_t,
             dh_seq, dc_seq, rk.T.astype(wt), w.T.astype(wt))
         return dx, dw, db, drk.astype(wt), dh0, dc0
-    dz_seq, drk, dh0, dc0 = _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq,
-                                          dh_seq, dc_seq)
+    if _FUSE_DRK:
+        dz_seq, dh0, dc0, drk = _backward_call_drk(
+            z_seq, cp_seq, c_seq, hp_seq, dh_seq, dc_seq, rk.T.astype(wt))
+    else:
+        dz_seq, dh0, dc0 = _backward_call(z_seq, cp_seq, c_seq, dh_seq,
+                                          dc_seq, rk.T.astype(wt))
+        drk = jnp.dot(
+            hp_seq.reshape(T * B, H).T.astype(wt),
+            dz_seq.reshape(T * B, H4).astype(wt),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
     dzf = dz_seq.reshape(T * B, H4)
     # projection backward: order-independent MXU matmuls, exactly what XLA
     # autodiff of the hoisted projection runs in the unfused path
