@@ -328,3 +328,60 @@ def test_dp_generation_int8_mode(monkeypatch):
     eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, 10, 2, 12)
     ref = pallas_generate.generate_cl_vrnn_batch_pallas(params, cfg, seeds, 6, eps, u, ws)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_shard_map_dp_composes_with_fused_kernels(monkeypatch):
+    """DP (shard_map + psum) x the experimental kernel fusions (proj + drk +
+    full backward): the custom_vjp's in-kernel weight-grad accumulators run
+    per shard and the psum-of-grads must reproduce the single-device fused
+    step exactly, like the unfused pallas composition above."""
+    import optax
+
+    from classifying_vae_lstm_tpu.models import cl_vrnn
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+    from classifying_vae_lstm_tpu.parallel import make_shard_map_train_step, replicate
+
+    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
+    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
+    monkeypatch.setattr(pallas_lstm, "_FUSE_BWD_FULL", True)
+
+    cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                         seq_length=4, n_classes=3, use_x_prev=True,
+                         lstm_backend="pallas")
+    params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
+    n = 32
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (n, 4, 12)) < 0.2).astype(jnp.float32)
+    w = jax.nn.one_hot(jnp.arange(n) % 3, 3)
+    batch = {"x": x, "x_prev": x, "y": x, "w": w}
+    loss_fn = functools.partial(
+        lambda c, p, b, k, klw, cw, wklw: cl_vrnn.loss_and_metrics(p, c, b, k, klw, cw, wklw), cfg
+    )
+    opt, _ = init_optimizer("adam-wn")
+    one = jnp.float32(1.0)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    step = make_shard_map_train_step(loss_fn, opt, mesh)
+    p_dp, s_dp, m_dp = step(replicate(params, mesh), replicate(opt.init(params), mesh),
+                            shard_batch(mesh, batch), jax.random.PRNGKey(2), one, one, one)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grads_acc, metrics_acc = [], []
+    for d in range(8):
+        sl = slice(d * 4, (d + 1) * 4)
+        shard = {k: v[sl] for k, v in batch.items()}
+        k = jax.random.fold_in(jax.random.PRNGKey(2), d)
+        (_, m), g = grad_fn(params, shard, k, one, one, one)
+        grads_acc.append(g)
+        metrics_acc.append(m)
+    gmean = jax.tree.map(lambda *a: jnp.mean(jnp.stack(a), 0), *grads_acc)
+    state = opt.init(params)
+    updates, _ = opt.update(gmean, state, params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(m_dp["loss"]),
+                               float(np.mean([m["loss"] for m in metrics_acc])), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        p_dp, p_ref,
+    )
