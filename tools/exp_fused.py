@@ -184,6 +184,76 @@ def main():
                 rows.append(row)
             pk.set_fusion(proj=False, drk=False, full=False)
 
+    # Exploratory: does the pallas train path win at H1536 bf16 now that the
+    # scoped-VMEM limit is 96 MB? rk_fits_vmem still caps shipping at H1024
+    # (the 16 MB-era budget); this phase lifts the gate and the block budget
+    # locally to find out whether the cap should move. Not run by default.
+    if "h1536" in phases:
+        import jax.numpy as jnp
+
+        from classifying_vae_lstm_tpu.nn.core import init_lstm
+        from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+
+        H, B = 1536, 1024
+        rk_cost = H * 4 * H * 2
+        orig_gate = pk.rk_fits_vmem
+        prev_budget = pk.set_vmem_budget(block_budget=rk_cost + 20 * 1024 * 1024)
+        pk.rk_fits_vmem = lambda hidden_dim, bf16=True: True
+        try:
+            fl = 3 * 2 * B * T * (IN + H) * 4 * H
+            for fused in [False, True]:
+                pk.set_fusion(proj=fused, drk=fused, full=fused)
+                row = {"phase": "h1536", "config": f"B{B} H{H} bf16",
+                       "backend": "pallas", "fused": fused}
+                try:
+                    sec = time_grad(B, H)
+                    row.update(fwdbwd_us=round(sec * 1e6, 1),
+                               tflops=round(fl / sec / 1e12, 2),
+                               rel_grad_dev=round(check_numerics(B, H), 5))
+                except Exception as e:
+                    row["error"] = repr(e)[:300]
+                print(json.dumps(row), flush=True)
+                rows.append(row)
+        finally:
+            pk.rk_fits_vmem = orig_gate
+            pk.set_vmem_budget(block_budget=prev_budget[0])
+            pk.set_fusion(proj=False, drk=False, full=False)
+        # XLA reference at the same shape
+
+        def xla_grad():
+            import jax as _jax
+            params = init_lstm(_jax.random.PRNGKey(0), IN, H)
+            x = _jax.random.normal(_jax.random.PRNGKey(1), (B, T, IN))
+
+            def many(p, x):
+                def body(c, _):
+                    g = _jax.grad(lambda q: jnp.mean(lstm_sequence(
+                        q, x, backend="xla", compute_dtype=jnp.bfloat16)[0] ** 2))(c)
+                    return _jax.tree.map(lambda a, b: a - 1e-3 * b, c, g), 0
+                return _jax.lax.scan(body, p, None, length=30)[0]
+
+            jitted = _jax.jit(many)
+            p = jitted(params, x)
+            _jax.block_until_ready(p)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                p = jitted(p, x)
+                _jax.block_until_ready(p)
+                best = min(best, (time.perf_counter() - t0) / 30)
+            return best
+
+        try:
+            sec = xla_grad()
+            row = {"phase": "h1536", "config": f"B{B} H{H} bf16",
+                   "backend": "xla",
+                   "fwdbwd_us": round(sec * 1e6, 1),
+                   "tflops": round(3 * 2 * B * T * (IN + H) * 4 * H / sec / 1e12, 2)}
+        except Exception as e:
+            row = {"phase": "h1536", "backend": "xla", "error": repr(e)[:300]}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
     with open(os.path.join(REPO, "artifacts", "fused_kernel_exp.json"), "w") as f:
         json.dump(rows, f, indent=1)
     print("wrote artifacts/fused_kernel_exp.json", flush=True)
