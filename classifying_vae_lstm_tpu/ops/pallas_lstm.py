@@ -955,9 +955,8 @@ def _lstm_bwd_kernel_full(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
         valid = (rows + bb * pl.program_id(0)) < B
     else:
         valid = None
-    colsum = lambda m: jax.lax.dot_general(
-        jnp.ones((1, bb), f32), m, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec)
+    colsum = lambda m: jnp.sum(m, axis=0, keepdims=True)  # VPU cross-sublane
+
 
     def step(s, _):
         t = T_blk - 1 - s
