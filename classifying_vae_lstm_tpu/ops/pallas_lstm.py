@@ -716,6 +716,30 @@ def _lstm_seq_train_kernel_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
     jax.lax.fori_loop(0, T_blk, step, 0)
 
 
+def _bwd_gate_grads(z, c, c_prev, dh, dc_in):
+    """Shared BPTT gate-gradient math (Keras-2.0 hard-sigmoid i/f/o, tanh g),
+    used by every plain backward kernel (the interleaved variant keeps its
+    own predicated-store flow): returns ``(dz, dc*f)`` — the pre-activation
+    cotangent and the next carry. ``dh``/``dc_in`` must already include the
+    incoming cotangents plus the scratch carries."""
+    H = c.shape[-1]
+    i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
+    f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
+    g = jnp.tanh(z[:, 2 * H : 3 * H])
+    o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
+    tanh_c = jnp.tanh(c)
+    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
+    dc = dc_in + dh * o * (1 - tanh_c**2)
+    do = dh * tanh_c
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dz = jnp.concatenate(
+        [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
+    )
+    return dz, dc * f
+
+
 def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
                      rkt_ref, dzseq_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
     """Reverse-time BPTT block: (dh, dc) live in VMEM scratch across all
@@ -736,29 +760,15 @@ def _lstm_bwd_kernel(nt, zseq_ref, cprev_ref, cseq_ref, dhseq_ref, dcseq_ref,
     f32 = jnp.float32
     wt = rkt_ref.dtype
     prec = "highest" if wt == f32 else None
-    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
 
     def step(s, _):
         t = T_blk - 1 - s  # reverse within the block
-        z = zseq_ref[t].astype(f32)
-        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
-        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
-        g = jnp.tanh(z[:, 2 * H : 3 * H])
-        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
-        tanh_c = jnp.tanh(cseq_ref[t])
-
-        dh = dh_scr[:] + dhseq_ref[t]
-        dc = dc_scr[:] + dcseq_ref[t] + dh * o * (1 - tanh_c**2)
-        do = dh * tanh_c
-        di = dc * g
-        dg = dc * i
-        df = dc * cprev_ref[t]
-        dz = jnp.concatenate(
-            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
-        )
+        dz, dcf = _bwd_gate_grads(zseq_ref[t].astype(f32), cseq_ref[t],
+                                  cprev_ref[t], dh_scr[:] + dhseq_ref[t],
+                                  dc_scr[:] + dcseq_ref[t])
         dzseq_ref[t] = dz.astype(dzseq_ref.dtype)
         dh_scr[:] = jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32, precision=prec)
-        dc_scr[:] = dc * f
+        dc_scr[:] = dcf
         return 0
 
     jax.lax.fori_loop(0, T_blk, step, 0)
@@ -875,7 +885,6 @@ def _lstm_bwd_kernel_drk(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
     f32 = jnp.float32
     wt = rkt_ref.dtype
     prec = "highest" if wt == f32 else None
-    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
     if B % bb != 0:
         rows = jax.lax.broadcasted_iota(jnp.int32, (bb, 1), 0)
         valid = (rows + bb * pl.program_id(0)) < B
@@ -884,22 +893,9 @@ def _lstm_bwd_kernel_drk(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
 
     def step(s, _):
         t = T_blk - 1 - s
-        z = zseq_ref[t].astype(f32)
-        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
-        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
-        g = jnp.tanh(z[:, 2 * H : 3 * H])
-        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
-        tanh_c = jnp.tanh(cseq_ref[t])
-
-        dh = dh_scr[:] + dhseq_ref[t]
-        dc = dc_scr[:] + dcseq_ref[t] + dh * o * (1 - tanh_c**2)
-        do = dh * tanh_c
-        di = dc * g
-        dg = dc * i
-        df = dc * cprev_ref[t]
-        dz = jnp.concatenate(
-            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
-        )
+        dz, dcf = _bwd_gate_grads(zseq_ref[t].astype(f32), cseq_ref[t],
+                                  cprev_ref[t], dh_scr[:] + dhseq_ref[t],
+                                  dc_scr[:] + dcseq_ref[t])
         hp = hprev_ref[t]
         if valid is not None:
             # zero BOTH operands on padded rows: a zeroed dz alone still
@@ -909,7 +905,7 @@ def _lstm_bwd_kernel_drk(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
             hp = jnp.where(valid, hp, 0.0)
         dzseq_ref[t] = dz.astype(dzseq_ref.dtype)
         dh_scr[:] = jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32, precision=prec)
-        dc_scr[:] = dc * f
+        dc_scr[:] = dcf
         drk_ref[:] += jax.lax.dot_general(
             hp.astype(wt), dz.astype(wt),
             (((0,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
@@ -949,7 +945,6 @@ def _lstm_bwd_kernel_full(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
     f32 = jnp.float32
     wt = rkt_ref.dtype
     prec = "highest" if wt == f32 else None
-    hsd = lambda gate: jnp.where((gate > 0.0) & (gate < 1.0), 0.2, 0.0)
     if B % bb != 0:
         rows = jax.lax.broadcasted_iota(jnp.int32, (bb, 1), 0)
         valid = (rows + bb * pl.program_id(0)) < B
@@ -957,25 +952,11 @@ def _lstm_bwd_kernel_full(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
         valid = None
     colsum = lambda m: jnp.sum(m, axis=0, keepdims=True)  # VPU cross-sublane
 
-
     def step(s, _):
         t = T_blk - 1 - s
-        z = zseq_ref[t].astype(f32)
-        i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
-        f = jnp.clip(0.2 * z[:, H : 2 * H] + 0.5, 0.0, 1.0)
-        g = jnp.tanh(z[:, 2 * H : 3 * H])
-        o = jnp.clip(0.2 * z[:, 3 * H :] + 0.5, 0.0, 1.0)
-        tanh_c = jnp.tanh(cseq_ref[t])
-
-        dh = dh_scr[:] + dhseq_ref[t]
-        dc = dc_scr[:] + dcseq_ref[t] + dh * o * (1 - tanh_c**2)
-        do = dh * tanh_c
-        di = dc * g
-        dg = dc * i
-        df = dc * cprev_ref[t]
-        dz = jnp.concatenate(
-            [di * hsd(i), df * hsd(f), dg * (1 - g**2), do * hsd(o)], axis=-1
-        )
+        dz, dcf = _bwd_gate_grads(zseq_ref[t].astype(f32), cseq_ref[t],
+                                  cprev_ref[t], dh_scr[:] + dhseq_ref[t],
+                                  dc_scr[:] + dcseq_ref[t])
         hp = hprev_ref[t]
         xp = xseq_ref[t]
         if valid is not None:
@@ -984,7 +965,7 @@ def _lstm_bwd_kernel_full(nt, B, zseq_ref, cprev_ref, cseq_ref, hprev_ref,
             xp = jnp.where(valid, xp, 0.0)
         # serial chain
         dh_scr[:] = jnp.dot(dz.astype(wt), rkt_ref[:], preferred_element_type=f32, precision=prec)
-        dc_scr[:] = dc * f
+        dc_scr[:] = dcf
         # bubble-riders (no serial consumer)
         dxseq_ref[t] = jnp.dot(dz.astype(wt), wt_ref[:],
                                preferred_element_type=f32,
@@ -1454,8 +1435,9 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
             "budget — use the XLA backend (resolve_lstm_backend 'auto' gates "
             "on rk_fits_vmem)")
     if _FUSE_PROJ:
-        # experimental: the projection moves INSIDE the training kernel
-        # (per-block, off the serial chain); inference still hoists it.
+        # experimental: the projection moves INSIDE the kernels — the
+        # per-block matmul sits off the serial chain in training, and the
+        # inference forward fuses it too (_forward_kernel_call_fp).
         # x and W are zero-padded to a 128-lane contraction dim — sub-128
         # lanes on a matmul operand get scalarized by Mosaic (CLAUDE.md).
         sd = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32

@@ -434,10 +434,13 @@ def test_fused_proj_inference_interleaved(monkeypatch):
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hb_), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTb), rtol=1e-5, atol=1e-6)
 
+    # 16-row blocks keep _use_interleave off -> the PLAIN fp kernel at a
+    # whole-T nt=1 grid
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
-        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (64, None),
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (16, None),
     )
+    assert not pallas_lstm._use_interleave(16, 8)
     hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas")
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hc), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTc), rtol=1e-5, atol=1e-6)

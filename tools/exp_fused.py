@@ -33,8 +33,8 @@ T = 16
 IN = 98
 
 
-def time_grad(B: int, H: int, k: int = 30) -> float:
-    """Per-step seconds for the pallas train fwd+bwd grad, dispatch-free
+def time_grad(B: int, H: int, k: int = 30, backend: str = "pallas") -> float:
+    """Per-step seconds for the train fwd+bwd grad, dispatch-free
     (K chained steps inside one jitted lax.scan, best of 3)."""
     import jax
     import jax.numpy as jnp
@@ -48,7 +48,7 @@ def time_grad(B: int, H: int, k: int = 30) -> float:
     def many(p, x):
         def body(c, _):
             g = jax.grad(lambda q: jnp.mean(lstm_sequence(
-                q, x, backend="pallas", compute_dtype=jnp.bfloat16)[0] ** 2))(c)
+                q, x, backend=backend, compute_dtype=jnp.bfloat16)[0] ** 2))(c)
             return jax.tree.map(lambda a, b: a - 1e-3 * b, c, g), 0
         return jax.lax.scan(body, p, None, length=k)[0]
 
@@ -218,33 +218,9 @@ def main():
             pk.rk_fits_vmem = orig_gate
             pk.set_vmem_budget(block_budget=prev_budget[0])
             pk.set_fusion(proj=False, drk=False, full=False)
-        # XLA reference at the same shape
-
-        def xla_grad():
-            import jax as _jax
-            params = init_lstm(_jax.random.PRNGKey(0), IN, H)
-            x = _jax.random.normal(_jax.random.PRNGKey(1), (B, T, IN))
-
-            def many(p, x):
-                def body(c, _):
-                    g = _jax.grad(lambda q: jnp.mean(lstm_sequence(
-                        q, x, backend="xla", compute_dtype=jnp.bfloat16)[0] ** 2))(c)
-                    return _jax.tree.map(lambda a, b: a - 1e-3 * b, c, g), 0
-                return _jax.lax.scan(body, p, None, length=30)[0]
-
-            jitted = _jax.jit(many)
-            p = jitted(params, x)
-            _jax.block_until_ready(p)
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                p = jitted(p, x)
-                _jax.block_until_ready(p)
-                best = min(best, (time.perf_counter() - t0) / 30)
-            return best
-
+        # XLA reference at the same shape, same protocol
         try:
-            sec = xla_grad()
+            sec = time_grad(B, H, backend="xla")
             row = {"phase": "h1536", "config": f"B{B} H{H} bf16",
                    "backend": "xla",
                    "fwdbwd_us": round(sec * 1e6, 1),

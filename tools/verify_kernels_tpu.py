@@ -117,10 +117,20 @@ def main():
     # drk reduction). Grad-vs-XLA like the rows above.
     from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
 
-    for B, IN, H, full in [(1024, 98, 1024, False), (500, 98, 512, False),
-                           (1024, 98, 1024, True), (500, 98, 512, True)]:
-        name = f"lstm fused proj+drk{'+full' if full else ''} B{B} H{H} bf16"
-        prev = pk.set_fusion(proj=True, drk=True, full=full)
+    # every adoption candidate exp_fused.py times gets a hardware-numerics
+    # row: proj-only, drk-only, proj+drk, and proj+drk+full
+    for B, IN, H, proj, drk, full in [
+        (1024, 98, 1024, True, False, False),
+        (1024, 98, 1024, False, True, False),
+        (1024, 98, 1024, True, True, False),
+        (500, 98, 512, True, True, False),
+        (1024, 98, 1024, True, True, True),
+        (500, 98, 512, True, True, True),
+    ]:
+        tag = "+".join(n for n, on in
+                       [("proj", proj), ("drk", drk), ("full", full)] if on)
+        name = f"lstm fused {tag} B{B} H{H} bf16"
+        prev = pk.set_fusion(proj=proj, drk=drk, full=full)
         try:
             p = init_lstm(jax.random.PRNGKey(0), IN, H)
             x = jax.random.normal(jax.random.PRNGKey(1), (B, 16, IN))
