@@ -69,6 +69,11 @@ def test_bench_require_backend_reports_fast_failure(monkeypatch, capsys):
     def failing_init(result):
         result["error"] = "RuntimeError: no such platform"
 
+    # the out-of-process pre-probe must be stubbed too: unpatched it spawns a
+    # real subprocess that inherits the harness JAX_PLATFORMS and hangs
+    # against a dead tunnel (this stalled a full suite run for real)
+    monkeypatch.setattr(bench, "_probe_backend_subprocess",
+                        lambda *a, **k: {"backend": "cpu"})
     monkeypatch.setattr(bench, "_require_backend",
                         lambda *a, **k: {"error": "RuntimeError: no such platform"})
     monkeypatch.setattr(bench.os, "_exit",
@@ -90,6 +95,11 @@ def test_bench_main_emits_error_schema_on_timeout(monkeypatch, capsys):
     sys.path.insert(0, REPO)
     import bench
 
+    monkeypatch.setenv("CVL_BENCH_INIT_RETRIES", "1")
+    monkeypatch.setenv("CVL_BENCH_INIT_RETRY_WAIT_S", "0")
+    probes = []
+    monkeypatch.setattr(bench, "_probe_backend_subprocess",
+                        lambda *a, **k: (probes.append(1), {})[-1])
     monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: {})
     exit_codes = []
     monkeypatch.setattr(bench.os, "_exit",
@@ -100,6 +110,7 @@ def test_bench_main_emits_error_schema_on_timeout(monkeypatch, capsys):
     except SystemExit:
         pass
     assert exit_codes == [1]
+    assert len(probes) == 2  # initial probe + CVL_BENCH_INIT_RETRIES=1 retry
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["value"] == 0 and rec["vs_baseline"] == 0
