@@ -444,3 +444,32 @@ def test_fused_proj_inference_interleaved(monkeypatch):
     hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas")
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hc), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTc), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_scanned_donated_grad(monkeypatch):
+    """The fused rungs inside a multi-step lax.scan with a donated carry —
+    the regime Trainer.train_epoch compiles (it caught a real scoped-VMEM
+    bug in the unfused kernels). CPU interpret cannot see VMEM, but this
+    pins the custom_vjp tracing path (accumulator outputs under scan +
+    donation) for every rung."""
+    from classifying_vae_lstm_tpu.ops import pallas_lstm
+
+    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
+    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
+    monkeypatch.setattr(pallas_lstm, "_FUSE_BWD_FULL", True)
+    monkeypatch.setattr(
+        pallas_lstm, "_pick_blocks",
+        lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
+    )
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 12))
+
+    def scanned(p, x):
+        def body(carry, _):
+            g = jax.grad(lambda q: jnp.mean(lstm_sequence(
+                q, x, backend="pallas", compute_dtype=jnp.bfloat16)[0] ** 2))(carry)
+            return jax.tree.map(lambda a, b: a - 1e-3 * b, carry, g), 0
+        return jax.lax.scan(body, p, None, length=2)[0]
+
+    out = jax.jit(scanned, donate_argnums=0)(p, x)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))
