@@ -1,0 +1,65 @@
+#!/bin/bash
+# Watchdog for the round-3 pending hardware queue (CLAUDE.md "third push").
+#
+# The axon TPU tunnel can go half-dead for hours (connects, never answers;
+# backend init hangs instead of failing over). This script probes the tunnel
+# every PROBE_INTERVAL_S seconds with a hard timeout; the moment a probe
+# succeeds it runs the four queued hardware jobs SEQUENTIALLY (never two TPU
+# processes at once), logging to /tmp/hwq_*.log and dropping marker files in
+# /tmp/hwq_state/. Safe to re-run: completed steps are skipped via markers.
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+STATE=/tmp/hwq_state
+mkdir -p "$STATE"
+PROBE_TIMEOUT_S=${PROBE_TIMEOUT_S:-420}
+PROBE_INTERVAL_S=${PROBE_INTERVAL_S:-180}
+
+probe() {
+    timeout "$PROBE_TIMEOUT_S" python -c "
+import os
+os.environ.setdefault('JAX_PLATFORMS', 'axon')
+import jax, jax.numpy as jnp
+assert jax.default_backend() == 'tpu', jax.default_backend()
+x = jnp.ones((128, 128))
+print('probe ok:', float((x @ x).sum()))
+" > /tmp/hwq_probe.log 2>&1
+}
+
+run_step() {
+    local name="$1"; shift
+    if [ -f "$STATE/$name.done" ]; then
+        echo "[hwq] $name already done, skipping"
+        return 0
+    fi
+    echo "[hwq] running $name: $*  ($(date -u +%H:%M:%S))"
+    if timeout 5400 "$@" > "/tmp/hwq_$name.log" 2>&1; then
+        touch "$STATE/$name.done"
+        echo "[hwq] $name OK"
+        return 0
+    fi
+    echo "[hwq] $name FAILED (see /tmp/hwq_$name.log)"
+    touch "$STATE/$name.failed"
+    return 1
+}
+
+cd "$REPO"
+attempt=0
+while true; do
+    attempt=$((attempt + 1))
+    echo "[hwq] probe attempt $attempt ($(date -u +%H:%M:%S))"
+    if probe; then
+        echo "[hwq] tunnel ALIVE"
+        # Order matters: verify gates any fusion default flip; exp_fused
+        # produces the numbers that decide the flip; bench_generate
+        # regenerates the invalidated bf16-vs-int8 row; bench.py last.
+        run_step verify  python tools/verify_kernels_tpu.py || break
+        run_step fused   python tools/exp_fused.py
+        run_step gen     python tools/bench_generate.py
+        run_step bench   python bench.py
+        echo "[hwq] queue complete ($(date -u +%H:%M:%S))"
+        touch "$STATE/ALL.done"
+        break
+    fi
+    echo "[hwq] tunnel still dead (probe timed out or errored)"
+    sleep "$PROBE_INTERVAL_S"
+done
