@@ -111,6 +111,7 @@ def cl_vae_config_from_args(margs: dict) -> cl_vae.Config:
         n_classes=margs["n_classes"],
         use_x_prev=margs.get("use_x_prev", False),
         w_log_var_prior=margs.get("w_log_var_prior", 0.0),
+        gen_backend=margs.get("gen_backend", "xla"),
     )
 
 
@@ -160,6 +161,31 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
             return dataclasses.replace(cfg, lstm_backend="pallas", bf16_compute=True)
         return dataclasses.replace(cfg, lstm_backend="xla")
     return dataclasses.replace(cfg, lstm_backend=choice)
+
+
+def resolve_gen_backend(cfg, choice: str = "auto"):
+    """Pick the cl_vae GENERATION backend (extension flag on sample/serve).
+
+    'keep' leaves the checkpoint's setting; 'auto' picks the fused
+    whole-generation Pallas kernel (:mod:`..ops.pallas_generate_vae`) on TPU
+    whenever the model has hidden layers and fits VMEM — generation is the
+    one cl_vae path with a serial loop XLA can't pin weights across, the
+    same traffic argument as the cl_vrnn fused sampler. The f32 kernel is
+    frame-exact vs the XLA scan, so 'auto' never changes sampled output.
+    """
+    import dataclasses
+
+    import jax
+
+    if choice == "keep":
+        return cfg
+    if choice == "auto":
+        from ..ops.pallas_generate_vae import fits
+
+        if fits(cfg) and jax.default_backend() == "tpu":
+            return dataclasses.replace(cfg, gen_backend="pallas")
+        return dataclasses.replace(cfg, gen_backend="xla")
+    return dataclasses.replace(cfg, gen_backend=choice)
 
 
 def make_log_fn(args):

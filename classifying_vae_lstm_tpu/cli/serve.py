@@ -42,6 +42,10 @@ def build_engine(args) -> tuple[GenerationEngine, dict]:
         # serving is forward-dominated: at hidden>=512 on TPU the Pallas
         # fused kernel + bf16 wins 1.2-1.4x (pallas_scale_bench.json)
         cfg = common.resolve_lstm_backend(cfg, getattr(args, "lstm_backend", "auto"))
+    else:
+        # cl_vae generation backend (fused whole-generation kernel); default
+        # 'keep' until the win regime is measured on hardware
+        cfg = common.resolve_gen_backend(cfg, getattr(args, "gen_backend", "keep"))
     squeeze = family == "cl_vae"
     P = PianoData(args.train_file, batch_size=1, seq_length=args.seed_len, squeeze_x=squeeze)
     seeds = P.x_test[:, 0] if family == "cl_vae" and P.x_test.ndim == 3 else P.x_test
@@ -178,6 +182,11 @@ def build_parser():
     parser.add_argument("--lstm_backend", type=str, default="auto",
                         choices=["auto", "keep", "xla", "pallas"],
                         help="'auto' = Pallas fused kernel + bf16 at hidden>=512 on TPU")
+    parser.add_argument("--gen_backend", type=str, default="keep",
+                        choices=["auto", "keep", "xla", "pallas"],
+                        help="cl_vae generation backend (extension): 'pallas' = "
+                             "fused whole-generation kernel; 'auto' = pallas on "
+                             "TPU when the model fits VMEM")
     parser.add_argument("--dp", type=int, default=1,
                         help="shard cl_vrnn generation over N devices "
                              "(data axis; extension)")

@@ -51,6 +51,10 @@ class Config:
     n_classes: int = 2  # class_dim (K)
     use_x_prev: bool = False
     w_log_var_prior: float = 0.0
+    # generation-time backend: 'xla' (lax.scan sampler) or 'pallas' (fused
+    # whole-generation kernel, ops/pallas_generate_vae.py). Training has no
+    # backend knob — the cl_vae forward is plain dense matmuls XLA fuses.
+    gen_backend: str = "xla"
 
     @property
     def has_hidden(self) -> bool:

@@ -117,19 +117,27 @@ def generate_cl_vae_batch(params, cfg, x_seeds, nsteps, key, w_vals=None,
     scans form was measured 5x slower at these degenerate [1, D] shapes —
     `artifacts/generate_bench.json`, cl_vrnn row; same structure here).
     ``w_vals`` overrides per-song key inference, as in the reference driver.
+    When the config selects the pallas generation backend and the model fits
+    VMEM (:mod:`..ops.pallas_generate_vae`), the whole loop runs in one
+    fused kernel with the weights resident, like the cl_vrnn family.
     """
+    from ..ops import pallas_generate_vae
+
+    use_fused = pallas_generate_vae.should_use(cfg, x_seeds.shape[0])
     return _vae_batch_with_drawn_noise(
         params, cfg, x_seeds, nsteps, key, w_vals, use_z_prior, w_sample,
-        return_probs)
+        return_probs, use_fused)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "nsteps", "use_z_prior", "w_sample", "return_probs"))
+    "cfg", "nsteps", "use_z_prior", "w_sample", "return_probs", "use_fused"))
 def _vae_batch_with_drawn_noise(params, cfg, x_seeds, nsteps: int, key, w_vals,
                                 use_z_prior: bool, w_sample: bool,
-                                return_probs: bool):
+                                return_probs: bool, use_fused: bool = False):
     """One device dispatch per request: w inference, noise draws, and the
     generation scan all inside a single jitted call."""
+    from ..ops import pallas_generate_vae
+
     B = x_seeds.shape[0]
     kw, kn = jax.random.split(key)
     if w_vals is None:
@@ -138,6 +146,10 @@ def _vae_batch_with_drawn_noise(params, cfg, x_seeds, nsteps: int, key, w_vals,
     else:
         ws = w_vals
     eps, u = draw_generation_noise(kn, B, nsteps, cfg.latent_dim, cfg.original_dim)
+    if use_fused:
+        return pallas_generate_vae.generate_cl_vae_batch_pallas(
+            params, cfg, x_seeds, nsteps, eps, u, ws,
+            use_z_prior=use_z_prior, return_probs=return_probs)
     return generate_cl_vae_batch_noise(params, cfg, x_seeds, nsteps, eps, u, ws,
                                        use_z_prior=use_z_prior,
                                        return_probs=return_probs)

@@ -79,6 +79,54 @@ def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20,
     return rows
 
 
+def run_vae(B, nsteps, H, D=88, L=2, K=10, n=20, force_mode=None):
+    """cl_vae family: batched scan vs the fused whole-generation kernel
+    (ops/pallas_generate_vae). Same protocol as the cl_vrnn rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from classifying_vae_lstm_tpu.models import cl_vae
+    from classifying_vae_lstm_tpu.ops.pallas_generate_vae import (
+        fits, generate_cl_vae_batch_pallas)
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vae_batch_noise)
+
+    cfg = cl_vae.Config(original_dim=D, intermediate_dim=H, latent_dim=L,
+                        intermediate_class_dim=88, n_classes=K, use_x_prev=True)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, D)) < 0.1).astype(jnp.float32)
+    ws = jax.nn.one_hot(jnp.arange(B) % K, K).astype(jnp.float32)
+    eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, nsteps, L, D)
+
+    variants = {
+        "batched_scan_noise": lambda: generate_cl_vae_batch_noise(
+            params, cfg, seeds, nsteps, eps, u, ws),
+    }
+    if fits(cfg):
+        tag = f"pallas_fused[{force_mode}]" if force_mode else "pallas_fused"
+        variants[tag] = lambda: generate_cl_vae_batch_pallas(
+            params, cfg, seeds, nsteps, eps, u, ws, mode=force_mode)
+
+    rows = []
+    for name, f in variants.items():
+        out = f(); jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        rows.append({
+            "family": "cl_vae",
+            "config": f"B{B} steps{nsteps} D{D} H{H}",
+            "variant": name,
+            "ms": round(dt * 1e3, 3),
+            "songs_per_sec": round(B / dt, 1),
+            "note_cells_per_sec": round(B * nsteps * D / dt, 0),
+        })
+        print(json.dumps(rows[-1]))
+    return rows
+
+
 def main():
     import jax
 
@@ -94,6 +142,14 @@ def main():
     rows += run(256, 16, 240, 1024, bf16=True, force_mode="int8",
                 skip_scans=True)
     rows += run(128, 16, 240, 1536, bf16=True)       # int8 escalation regime
+    # cl_vae family (ops/pallas_generate_vae): reference frame mode, the
+    # seq-concat shape (pruned-pitches x seq_length ~ 976-wide frames), and
+    # scaled serving; one bf16 A/B rung
+    rows += run_vae(32, 64, 88)                      # reference/demo size
+    rows += run_vae(32, 64, 88, D=976)               # seq-concat reference
+    rows += run_vae(256, 240, 512)                   # scaled serving
+    rows += run_vae(256, 240, 1024)
+    rows += run_vae(256, 240, 1024, force_mode="bf16")
     with open(os.path.join(REPO, "artifacts", "generate_bench.json"), "w") as f:
         json.dump(rows, f, indent=2)
 

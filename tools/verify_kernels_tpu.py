@@ -188,6 +188,43 @@ def main():
         except Exception as e:
             check(name, False, repr(e)[:200])
 
+    # --- fused cl_vae generation (ops/pallas_generate_vae): f32 parity must
+    # be exact-frame / tight-prob vs the XLA scan; includes the seq-concat
+    # regime (original_dim ~ 1000 from pruned-pitches x seq_length), an
+    # unaligned batch, and the bf16 A/B mode.
+    from classifying_vae_lstm_tpu.models import cl_vae
+    from classifying_vae_lstm_tpu.ops import pallas_generate_vae
+    from classifying_vae_lstm_tpu.sampling.generate import generate_cl_vae_batch_noise
+
+    for B, D, H, xprev, mode, tol in [
+        (64, 88, 88, True, "f32", 1e-5),      # reference frame-mode shape
+        (64, 976, 88, True, "f32", 1e-5),     # seq-concat shape (61 x 16)
+        (20, 88, 512, True, "f32", 1e-5),     # padded batch blocks, wide H
+        (64, 88, 512, False, "f32", 1e-5),    # no x_prev branch
+        (64, 88, 512, True, "bf16", 5e-3),    # A/B precision rung
+    ]:
+        cfg = cl_vae.Config(original_dim=D, intermediate_dim=H, latent_dim=2,
+                            intermediate_class_dim=88, n_classes=10,
+                            use_x_prev=xprev)
+        name = f"vae-generate B{B} D{D} H{H} ({mode}{'' if xprev else ', no-xprev'})"
+        try:
+            prm = cl_vae.init(jax.random.PRNGKey(0), cfg)
+            seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, D)) < 0.1
+                     ).astype(jnp.float32)
+            ws = jax.nn.one_hot(jnp.arange(B) % 10, 10).astype(jnp.float32)
+            eps, u = draw_generation_noise(jax.random.PRNGKey(2), B, 32, 2, D)
+            u1 = jnp.ones_like(u)  # feedback-free: isolates per-step numerics
+            # (a real-u frame check would cascade any near-boundary Bernoulli
+            # flip through the feedback; CPU interpret tests pin frame-exact)
+            ref = generate_cl_vae_batch_noise(prm, cfg, seeds, 32, eps, u1, ws,
+                                              return_probs=True)
+            got = pallas_generate_vae.generate_cl_vae_batch_pallas(
+                prm, cfg, seeds, 32, eps, u1, ws, return_probs=True, mode=mode)
+            d = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+            check(name, d < tol, f"max prob dev {d:.6f}")
+        except Exception as e:
+            check(name, False, repr(e)[:200])
+
     print("FAILURES:", FAILURES if FAILURES else "none")
 
     # Committed evidence that the sweep ran on hardware (judge-visible).
