@@ -188,8 +188,8 @@ def build_parser():
                              "fused whole-generation kernel; 'auto' = pallas on "
                              "TPU when the model fits VMEM")
     parser.add_argument("--dp", type=int, default=1,
-                        help="shard cl_vrnn generation over N devices "
-                             "(data axis; extension)")
+                        help="shard generation over N devices "
+                             "(data axis, both families; extension)")
     parser.add_argument("--dynamic_batching", action="store_true",
                         help="coalesce concurrent /generate requests into one "
                              "bucketed device call (bounded wait window)")

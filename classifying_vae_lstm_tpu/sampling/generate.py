@@ -347,6 +347,57 @@ def generate_cl_vrnn_batch_dp(params, cfg, x_seeds, nsteps: int, key, ws, mesh):
     return fn(params, x_seeds, eps, u, ws)
 
 
+def generate_cl_vae_batch_dp(params, cfg, x_seeds, nsteps: int, key, ws, mesh):
+    """Data-parallel cl_vae batched generation over a device mesh.
+
+    Same design as :func:`generate_cl_vrnn_batch_dp`: songs shard over the
+    mesh's ``'data'`` axis via ``jax.shard_map`` with ZERO collectives
+    (params replicate, each device generates its shard), and the globally
+    pre-drawn noise shards with the songs so the output is EXACTLY the
+    single-device sampler's for the same key. Composes with the fused
+    cl_vae generation kernel (:mod:`..ops.pallas_generate_vae`) inside
+    shard_map. ``x_seeds.shape[0]`` must divide by the data-axis size;
+    ``ws=None`` infers the deterministic mean-logit simplex point per seed
+    (the sampler's ``w_val=None`` default, reference cl_vae/model.py:24-27).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..nn.distributions import logistic_normal_from_eps
+    from ..ops import pallas_generate_vae
+
+    B, D = x_seeds.shape
+    n_data = mesh.shape["data"]
+    if B % n_data != 0:
+        raise ValueError(f"batch {B} not divisible by data axis {n_data}")
+    if ws is None:
+        w_mean, w_log_var = cl_vae.encode_w(params, x_seeds)
+        ws = logistic_normal_from_eps(w_mean, w_log_var, None, add_noise=False)
+    eps, u = draw_generation_noise(key, B, nsteps, cfg.latent_dim, D)
+    use_fused = pallas_generate_vae.should_use(cfg, B // n_data)
+    fn = _dp_vae_generate_fn(cfg, mesh, nsteps, use_fused)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    return fn(params, x_seeds, eps, u, ws)
+
+
+@functools.lru_cache(maxsize=64)
+def _dp_vae_generate_fn(cfg, mesh, nsteps: int, use_fused: bool):
+    """Cached jitted shard_map cl_vae sampler (see :func:`_dp_generate_fn`)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_generate_vae
+
+    def per_device(params, seeds, eps, u, ws):
+        if use_fused:
+            return pallas_generate_vae.generate_cl_vae_batch_pallas(
+                params, cfg, seeds, nsteps, eps, u, ws)
+        return generate_cl_vae_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
+
+    repl, shard = P(), P("data")
+    return jax.jit(jax.shard_map(per_device, mesh=mesh,
+                                 in_specs=(repl, shard, shard, shard, shard),
+                                 out_specs=shard, check_vma=False))
+
+
 @functools.lru_cache(maxsize=64)
 def _dp_generate_fn(cfg, mesh, nsteps: int, use_fused: bool):
     """Cached jitted shard_map sampler per (cfg, mesh, nsteps, backend) —

@@ -159,9 +159,9 @@ class GenerationEngine:
         """seed_bank: [N, Tseed, D] (cl_vrnn) or [N, D] (cl_vae) test-set
         seeds; seed_keys: optional integer key label per seed (for
         key-conditioned requests and true-key conditioning); mesh: optional
-        device mesh — cl_vrnn generation shards songs over its 'data' axis
+        device mesh — both families shard songs over its 'data' axis
         (embarrassingly parallel, zero collectives; composes with the fused
-        Pallas kernel inside shard_map); dynamic_batching: coalesce
+        Pallas kernels inside shard_map); dynamic_batching: coalesce
         concurrent requests into one bucketed device call (see
         :class:`DynamicBatcher`), adding at most ``batch_window_ms`` of
         queueing latency per request."""
@@ -169,9 +169,6 @@ class GenerationEngine:
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
-            family = "cl_vae" if isinstance(cfg, cl_vae.Config) else "cl_vrnn"
-            if family != "cl_vrnn":
-                raise ValueError("mesh-sharded generation supports cl_vrnn only")
             n_data = mesh.shape["data"]
             if not any(b % n_data == 0 for b in self.BATCH_BUCKETS):
                 raise ValueError(
@@ -195,10 +192,12 @@ class GenerationEngine:
         # fused whole-generation Pallas kernel (weights resident in VMEM):
         # generate_cl_vrnn_batch dispatches to it per-request via the same
         # predicate; this attribute just surfaces the decision for /stats
-        from ..ops import pallas_generate
+        from ..ops import pallas_generate, pallas_generate_vae
 
-        self._use_fused_gen = self.family == "cl_vrnn" and pallas_generate.should_use(
-            cfg, self.BATCH_BUCKETS[-1])
+        self._use_fused_gen = (
+            pallas_generate.should_use(cfg, self.BATCH_BUCKETS[-1])
+            if self.family == "cl_vrnn"
+            else pallas_generate_vae.should_use(cfg, self.BATCH_BUCKETS[-1]))
         self._batcher = (
             DynamicBatcher(self, window_ms=batch_window_ms) if dynamic_batching else None
         )
@@ -249,6 +248,13 @@ class GenerationEngine:
 
     def _run(self, seeds, t, ws):
         if self.family == "cl_vae":
+            # both families shard songs over the mesh's data axis (zero
+            # collectives; exact vs single-device for the same key)
+            if self.mesh is not None and seeds.shape[0] % self.mesh.shape["data"] == 0:
+                from ..sampling.generate import generate_cl_vae_batch_dp
+
+                return generate_cl_vae_batch_dp(
+                    self.params, self.cfg, seeds, t, self._next_key(), ws, self.mesh)
             return generate_cl_vae_batch(self.params, self.cfg, seeds, t, self._next_key(),
                                          w_vals=ws)
         # generate_cl_vrnn_batch dispatches to the fused whole-generation

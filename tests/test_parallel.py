@@ -303,6 +303,38 @@ def test_dp_generation_matches_single_device(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref))
 
 
+def test_dp_vae_generation_matches_single_device(monkeypatch):
+    """cl_vae sharded generation == single-device, exactly; composes with
+    the fused cl_vae generation kernel inside shard_map (round-3 kernel)."""
+    from classifying_vae_lstm_tpu.models import cl_vae
+    from classifying_vae_lstm_tpu.ops import pallas_generate_vae
+    from classifying_vae_lstm_tpu.sampling.generate import (
+        draw_generation_noise, generate_cl_vae_batch_dp,
+        generate_cl_vae_batch_noise)
+
+    cfg = cl_vae.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
+                        intermediate_class_dim=8, n_classes=3, use_x_prev=True)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    B, nsteps = 16, 6
+    seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, 12)) < 0.2).astype(jnp.float32)
+    ws = jax.nn.one_hot(jnp.arange(B) % 3, 3).astype(jnp.float32)
+    key = jax.random.PRNGKey(2)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    got = generate_cl_vae_batch_dp(params, cfg, seeds, nsteps, key, ws, mesh)
+    eps, u = draw_generation_noise(key, B, nsteps, 2, 12)
+    ref = generate_cl_vae_batch_noise(params, cfg, seeds, nsteps, eps, u, ws)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    import dataclasses
+
+    monkeypatch.setattr(pallas_generate_vae, "FORCE_OFF_TPU", True)
+    cfg_p = dataclasses.replace(cfg, gen_backend="pallas")
+    assert pallas_generate_vae.should_use(cfg_p, B // 8)
+    got_p = generate_cl_vae_batch_dp(params, cfg_p, seeds, nsteps, key, ws, mesh)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref))
+
+
 def test_dp_generation_int8_mode(monkeypatch):
     """Int8 fused generation inside shard_map DP: valid output, per-shard
     quantization identical to single-device (weights replicate)."""

@@ -370,7 +370,7 @@ def test_explicit_pallas_oversized_hidden_raises():
 
 
 def test_engine_dp_validation():
-    """--dp must divide a bucket and supports cl_vrnn only."""
+    """--dp must divide a bucket; the cl_vae family shards over a mesh too."""
     import numpy as np
     import pytest as _pytest
 
@@ -386,12 +386,16 @@ def test_engine_dp_validation():
     with _pytest.raises(ValueError, match="divides no batch bucket"):
         GenerationEngine(params, cfg, bank, mesh=mesh3)
 
+    # cl_vae on a mesh: songs shard over the data axis (round-3 extension)
     vcfg = _vae.Config(original_dim=12, intermediate_dim=8, latent_dim=2,
                        intermediate_class_dim=6, n_classes=3)
     vparams = _vae.init(jax.random.PRNGKey(0), vcfg)
-    with _pytest.raises(ValueError, match="cl_vrnn only"):
-        GenerationEngine(vparams, vcfg, np.zeros((4, 12), np.float32),
-                         mesh=make_mesh(n_data=4, n_model=1))
+    vbank = (np.random.RandomState(0).rand(4, 12) < 0.3).astype(np.float32)
+    eng = GenerationEngine(vparams, vcfg, vbank,
+                           mesh=make_mesh(n_data=4, n_model=1))
+    out = eng.generate(n=4, nsteps=6)
+    assert out.shape == (4, 6, 12)
+    assert set(np.unique(out)) <= {0.0, 1.0}
 
 
 def test_dp_generate_fn_is_cached():
