@@ -15,37 +15,29 @@ import numpy as np
 
 from ..data import PianoData, write_sample, write_sample_wav
 from ..data.pianoroll import to_categorical
-from ..sampling import generate_cl_vae
+from ..sampling.generate import generate_cl_vae_batch
 from . import common
 
 
-def make_sample(P, params, cfg, margs, args, key, run_name):
-    """Seed from a random test window; w = true key one-hot or inferred
-    (reference ``cl_vae/sample.py:8-15``)."""
-    k_seed, k_gen = jax.random.split(key)
+def gather_seeds(P, margs, args, key):
+    """(seeds [n, D], w_vals [n, K] | None): random test frames with true-key
+    one-hots, or inferred w (reference ``cl_vae/sample.py:8-15``). A user
+    ``--seed_midi`` contributes its last frame n times (w always inferred —
+    the true key is unknown)."""
+    n, D = args.n, margs["original_dim"]
     if args.seed_midi:
-        # extension: seed from the last frame of a user .mid (true key is
-        # unknown, so w is inferred from the seed frame)
         from ..data.midi import midi_to_roll
 
         roll = midi_to_roll(args.seed_midi)
         if len(roll) == 0:
             raise ValueError(f"{args.seed_midi} contains no notes")
-        x_seed = roll[-1][: margs["original_dim"]]
-        w_val = None
-    else:
-        seed_ind = int(jax.random.randint(k_seed, (), 0, len(P.x_test)))
-        x_seed = P.x_test[seed_ind][0]
-        w_val = None
-        if not args.infer_w:
-            seed_key_ind = P.test_song_keys[seed_ind]
-            w_val = jnp.asarray(to_categorical([seed_key_ind], margs["n_classes"])[0])
-    sample = generate_cl_vae(
-        params, cfg, jnp.asarray(x_seed), args.t, k_gen, w_val=w_val, use_z_prior=args.use_z_prior
-    )
-    write_sample(np.asarray(sample), args.sample_dir, run_name, True)
-    if args.write_wav:
-        write_sample_wav(np.asarray(sample), args.sample_dir, run_name, True)
+        return np.tile(roll[-1][:D], (n, 1)).astype(np.float32), None
+    inds = np.asarray(jax.random.randint(key, (n,), 0, len(P.x_test)))
+    seeds = np.stack([P.x_test[i][0] for i in inds]).astype(np.float32)
+    if args.infer_w:
+        return seeds, None
+    w_vals = to_categorical([P.test_song_keys[i] for i in inds], margs["n_classes"])
+    return seeds, jnp.asarray(w_vals)
 
 
 def sample(args):
@@ -55,10 +47,18 @@ def sample(args):
     params, cfg, margs = common.load_model(model_file, "cl_vae", no_x_prev=args.no_x_prev)
     P = PianoData(args.train_file, batch_size=1, seq_length=args.t, squeeze_x=True)
     os.makedirs(args.sample_dir, exist_ok=True)
-    key = jax.random.PRNGKey(args.seed)
+    k_seed, k_gen = jax.random.split(jax.random.PRNGKey(args.seed))
+    seeds, w_vals = gather_seeds(P, margs, args, k_seed)
+    # all n songs in ONE device program (w inference, noise draws, and the
+    # generation scan — or the fused Pallas kernel when cfg opts in); the
+    # reference generates one frame at a time per song from Python
+    samples = generate_cl_vae_batch(
+        params, cfg, jnp.asarray(seeds), args.t, k_gen, w_vals=w_vals,
+        use_z_prior=args.use_z_prior)
     for i in range(args.n):
-        key, k = jax.random.split(key)
-        make_sample(P, params, cfg, margs, args, k, f"{args.run_name}_{i}")
+        write_sample(np.asarray(samples[i]), args.sample_dir, f"{args.run_name}_{i}", True)
+        if args.write_wav:
+            write_sample_wav(np.asarray(samples[i]), args.sample_dir, f"{args.run_name}_{i}", True)
 
 
 def build_parser():
