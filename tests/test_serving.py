@@ -571,3 +571,40 @@ def test_dynamic_batching_composes_with_dp_mesh():
         assert set(np.unique(o)) <= {0.0, 1.0}
     assert eng.stats["batches"] == 1  # coalesced into ONE device call
     assert eng.stats["batched_songs"] == 16
+
+
+def test_dynamic_batching_composes_with_dp_mesh_cl_vae():
+    """Same composition for the cl_vae family (round-3 DP extension):
+    coalesced requests -> one shard_map device call over the data axis."""
+    from classifying_vae_lstm_tpu.models import cl_vae as cv
+    from classifying_vae_lstm_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = cv.Config(original_dim=16, intermediate_dim=12, latent_dim=2,
+                    intermediate_class_dim=8, n_classes=3)
+    params = cv.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    bank = (rng.random((6, 16)) < 0.2).astype(np.float32)
+    mesh = make_mesh(n_data=8, n_model=1)
+    eng = GenerationEngine(params, cfg, bank, np.arange(6) % 3, mesh=mesh,
+                           dynamic_batching=True, batch_window_ms=500.0)
+    eng._batcher.max_songs = 16
+
+    outs, errors = {}, []
+
+    def client(name):
+        try:
+            outs[name] = eng.generate(n=8, nsteps=16, infer_w=True)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    a = threading.Thread(target=client, args=("a",))
+    b = threading.Thread(target=client, args=("b",))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errors
+    for o in outs.values():
+        assert o.shape == (8, 16, 16)
+        assert set(np.unique(o)) <= {0.0, 1.0}
+    assert eng.stats["batches"] == 1
+    assert eng.stats["batched_songs"] == 16

@@ -38,8 +38,15 @@ run_step() {
         return 0
     fi
     echo "[hwq] $name FAILED (see /tmp/hwq_$name.log)"
-    touch "$STATE/$name.failed"
+    date -u +%H:%M:%S >> "$STATE/$name.failed"
     return 1
+}
+
+queue_done() {
+    for s in verify fused gen bench; do
+        [ -f "$STATE/$s.done" ] || return 1
+    done
+    return 0
 }
 
 cd "$REPO"
@@ -52,14 +59,27 @@ while true; do
         # Order matters: verify gates any fusion default flip; exp_fused
         # produces the numbers that decide the flip; bench_generate
         # regenerates the invalidated bf16-vs-int8 row; bench.py last.
-        run_step verify  python tools/verify_kernels_tpu.py || break
-        run_step fused   python tools/exp_fused.py
-        run_step gen     python tools/bench_generate.py
-        run_step bench   python bench.py
-        echo "[hwq] queue complete ($(date -u +%H:%M:%S))"
-        touch "$STATE/ALL.done"
-        break
+        # A failed step (e.g. the tunnel dying mid-run) is retried on the
+        # next revival, up to 3 attempts each.
+        attempts() { [ -f "$STATE/$1.failed" ] && wc -l < "$STATE/$1.failed" || echo 0; }
+        if [ "$(attempts verify)" -lt 3 ] || [ -f "$STATE/verify.done" ]; then
+            run_step verify python tools/verify_kernels_tpu.py || { sleep "$PROBE_INTERVAL_S"; continue; }
+        fi
+        [ "$(attempts fused)" -lt 3 ] && run_step fused python tools/exp_fused.py
+        [ "$(attempts gen)" -lt 3 ] && run_step gen python tools/bench_generate.py
+        [ "$(attempts bench)" -lt 3 ] && run_step bench python bench.py
+        if queue_done; then
+            echo "[hwq] queue complete ($(date -u +%H:%M:%S))"
+            touch "$STATE/ALL.done"
+            break
+        fi
+        if [ "$(attempts verify)" -ge 3 ] && [ ! -f "$STATE/verify.done" ]; then
+            echo "[hwq] verify failed 3x — giving up (fix and rerun manually)"
+            break
+        fi
+        echo "[hwq] queue incomplete (failures); will retry on next probe"
+    else
+        echo "[hwq] tunnel still dead (probe timed out or errored)"
     fi
-    echo "[hwq] tunnel still dead (probe timed out or errored)"
     sleep "$PROBE_INTERVAL_S"
 done
