@@ -142,6 +142,11 @@ def build_parser():
                         help="fail fast on NaN/Inf in the first batch's loss/grads (extension)")
     parser.add_argument("--streaming", action="store_true",
                         help="host-stream training batches with device prefetch for corpora larger than HBM (extension)")
+    parser.add_argument("--bf16_compute", action="store_true",
+                        help="bf16 matmul operands (f32 accumulation) on the wide layers "
+                             "for SCALED training — MXU-native mode, mirrors the cl_vrnn "
+                             "auto backend's dtype; at the reference's 88-wide layers it "
+                             "buys nothing (extension)")
     parser.add_argument("--data_init", action="store_true",
                         help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
     parser.add_argument("--vanilla", action="store_true",

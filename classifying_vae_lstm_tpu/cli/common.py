@@ -112,6 +112,7 @@ def cl_vae_config_from_args(margs: dict) -> cl_vae.Config:
         use_x_prev=margs.get("use_x_prev", False),
         w_log_var_prior=margs.get("w_log_var_prior", 0.0),
         gen_backend=margs.get("gen_backend", "xla"),
+        bf16_compute=margs.get("bf16_compute", False),
     )
 
 

@@ -51,6 +51,12 @@ class Config:
     n_classes: int = 2  # class_dim (K)
     use_x_prev: bool = False
     w_log_var_prior: float = 0.0
+    # (extension) bf16 matmul operands with f32 accumulation for SCALED
+    # training (MXU-native mode, mirrors cl_vrnn.Config.bf16_compute). The
+    # default f32/precision-highest path is the reference-parity path; at the
+    # reference's 88-wide layers bf16 buys nothing, at seq-concat widths
+    # (original_dim ~1000, intermediate_dim >=1024) it doubles MXU throughput.
+    bf16_compute: bool = False
     # generation-time backend: 'xla' (lax.scan sampler) or 'pallas' (fused
     # whole-generation kernel, ops/pallas_generate_vae.py). Training has no
     # backend knob — the cl_vae forward is plain dense matmuls XLA fuses.
@@ -87,35 +93,41 @@ def init(key, cfg: Config) -> dict:
     return params
 
 
-def encode_w(params, x):
+def encode_w(params, x, dtype=None):
     """x -> (w_mean, w_log_var). Replaces make_w_encoder (cl_vae/model.py:76-85)."""
-    h_w = dense(params["h_w"], x, jax.nn.relu)
+    h_w = dense(params["h_w"], x, jax.nn.relu, dtype=dtype)
     return dense(params["w_mean"], h_w), dense(params["w_log_var"], h_w)
 
 
-def encode_z(params, cfg: Config, x, w):
+def encode_z(params, cfg: Config, x, w, dtype=None):
     """(x, w) -> (z_mean, z_log_var). Replaces make_z_encoder (cl_vae/model.py:87-102)."""
     xw = jnp.concatenate([x, w], axis=-1)
-    h = dense(params["h"], xw, jax.nn.relu) if cfg.has_hidden else xw
+    h = dense(params["h"], xw, jax.nn.relu, dtype=dtype) if cfg.has_hidden else xw
     return dense(params["z_mean"], h), dense(params["z_log_var"], h)
 
 
-def decode(params, cfg: Config, w, z, x_prev=None):
+def decode(params, cfg: Config, w, z, x_prev=None, dtype=None):
     """(w, z[, x_prev]) -> sigmoid x_mean. Replaces make_decoder (cl_vae/model.py:104-128)."""
     xpz = jnp.concatenate([x_prev, z], axis=-1) if cfg.use_x_prev else z
     wz = jnp.concatenate([w, xpz], axis=-1)
-    h = dense(params["decoder_h"], wz, jax.nn.relu) if cfg.has_hidden else wz
-    return dense(params["x_decoded_mean"], h, jax.nn.sigmoid)
+    h = dense(params["decoder_h"], wz, jax.nn.relu, dtype=dtype) if cfg.has_hidden else wz
+    return dense(params["x_decoded_mean"], h, jax.nn.sigmoid, dtype=dtype)
 
 
 def apply(params, cfg: Config, x, key, x_prev=None):
-    """Full stochastic forward pass; returns every named tensor of the graph."""
+    """Full stochastic forward pass; returns every named tensor of the graph.
+
+    Under ``cfg.bf16_compute`` the WIDE matmuls (hidden layers + frame head)
+    take bf16 operands with f32 accumulation; the tiny distribution heads
+    (w/z mean & log-var — they feed ``exp``) stay f32 like cl_vrnn's.
+    """
+    cd = jnp.bfloat16 if cfg.bf16_compute else None
     kw, kz = jax.random.split(key)
-    w_mean, w_log_var = encode_w(params, x)
+    w_mean, w_log_var = encode_w(params, x, dtype=cd)
     w = sample_logistic_normal(kw, w_mean, w_log_var)
-    z_mean, z_log_var = encode_z(params, cfg, x, w)
+    z_mean, z_log_var = encode_z(params, cfg, x, w, dtype=cd)
     z = sample_gaussian(kz, z_mean, z_log_var)
-    x_decoded_mean = decode(params, cfg, w, z, x_prev)
+    x_decoded_mean = decode(params, cfg, w, z, x_prev, dtype=cd)
     return {
         "x_decoded_mean": x_decoded_mean,
         "w": w,

@@ -210,3 +210,24 @@ def test_cl_vrnn_bf16_compute_close_to_f32():
     assert b["X_decoded_mean"].dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(a["X_decoded_mean"]),
                                np.asarray(b["X_decoded_mean"]), atol=0.03)
+
+
+def test_cl_vae_bf16_compute_close_to_f32():
+    # (extension) scaled-training mode: wide matmuls in bf16, f32 accumulation,
+    # distribution heads f32 — mirrors cl_vrnn.Config.bf16_compute.
+    import dataclasses
+
+    cfg, params, x, w = _vae_setup(use_x_prev=True)
+    cfg16 = dataclasses.replace(cfg, bf16_compute=True)
+    k = jax.random.PRNGKey(5)
+    a = cl_vae.apply(params, cfg, x, k, x_prev=x)
+    b = cl_vae.apply(params, cfg16, x, k, x_prev=x)
+    assert b["x_decoded_mean"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(a["x_decoded_mean"]),
+                               np.asarray(b["x_decoded_mean"]), atol=0.03)
+    batch = {"x": x, "y": x, "w": w, "x_prev": x}
+    (la, _) = cl_vae.loss_and_metrics(params, cfg, batch, k)
+    (lb, _) = cl_vae.loss_and_metrics(params, cfg16, batch, k)
+    np.testing.assert_allclose(float(la), float(lb), rtol=5e-3)
+    g = jax.grad(lambda p: cl_vae.loss_and_metrics(p, cfg16, batch, k)[0])(params)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))

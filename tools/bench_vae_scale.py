@@ -1,0 +1,124 @@
+"""Scaled cl_vae TRAINING step: measured MFU vs an analytic roofline.
+
+The cl_vrnn family's scaled-training story is settled (Pallas kernels,
+`artifacts/train_scale_bench.json`, `artifacts/mfu_breakdown.json`). The
+cl_vae family deliberately has NO training backend knob — its forward is
+plain dense matmuls that XLA fuses (models/cl_vae.py Config docstring). This
+tool supplies the evidence behind that decision at SCALED widths (seq-concat
+original_dim ~1000, `cl_vae/train.py:21-30` in the reference, hidden >=1024):
+measure the full optimizer step in the scanned-epoch regime and compare to
+the analytic FLOP and HBM rooflines. If XLA already sits at the binding
+roof, a hand-written kernel has nothing to win; if not, this is the to-do.
+
+Protocol: CLAUDE.md kernel timing protocol — n_steps minibatches scanned
+into ONE device program (Trainer.train_epoch, the production regime),
+best-of-3 on the whole scan, quiet host.
+
+Usage: python tools/bench_vae_scale.py          (real TPU, ~5 min)
+Writes artifacts/vae_scale_bench.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e
+HBM_GBS = 819.0
+
+
+def _layer_dims(D, Cw, K, H, L, use_x_prev):
+    """(in, out) of every dense matmul in the cl_vae graph."""
+    dec_in = K + L + (D if use_x_prev else 0)
+    return [
+        (D, Cw), (Cw, K - 1), (Cw, K - 1),            # h_w + w heads
+        (D + K, H), (H, L), (H, L),                   # h + z heads
+        (dec_in, H), (H, D),                          # decoder_h + x head
+    ]
+
+
+def bench_step(batch: int, hid: int, D: int = 976, Cw: int = 256, K: int = 13,
+               L: int = 16, n_steps: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from classifying_vae_lstm_tpu.models import cl_vae
+    from classifying_vae_lstm_tpu.optim import init_optimizer
+    from classifying_vae_lstm_tpu.train import Trainer
+
+    cfg = cl_vae.Config(original_dim=D, intermediate_dim=hid, latent_dim=L,
+                        intermediate_class_dim=Cw, n_classes=K,
+                        use_x_prev=True, bf16_compute=True)
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    opt, _ = init_optimizer("adam-wn")
+    loss_fn = functools.partial(
+        lambda c, p, b, k, klw, cw, wklw: cl_vae.loss_and_metrics(p, c, b, k, klw, cw, wklw),
+        cfg)
+    trainer = Trainer(loss_fn, opt, batch_size=batch)
+    opt_state = opt.init(params)
+    kx, kp, kw = jax.random.split(jax.random.PRNGKey(1), 3)
+    n = batch * n_steps
+    data = {
+        "x": (jax.random.uniform(kx, (n, D)) < 0.1).astype(jnp.float32),
+        "x_prev": (jax.random.uniform(kp, (n, D)) < 0.1).astype(jnp.float32),
+        "w": jax.nn.one_hot(jax.random.randint(kw, (n,), 0, K), K),
+    }
+    data["y"] = data["x"]
+    one = jnp.float32(1.0)
+
+    p, o = params, opt_state
+    p, o, _ = trainer.train_epoch(p, o, data, jax.random.PRNGKey(2), one, one, one)
+    jax.block_until_ready(p)
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        p, o, _ = trainer.train_epoch(p, o, data, jax.random.PRNGKey(3 + i), one, one, one)
+        jax.block_until_ready(p)
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+
+    dims = _layer_dims(D, Cw, K, hid, L, True)
+    flops = 3 * 2 * batch * sum(i * o_ for i, o_ in dims)  # fwd + ~2x bwd
+    n_params = sum(i * o_ + o_ for i, o_ in dims)
+    # HBM floor per step: batch in/out once (x, x_prev, w, y read; grads of
+    # the saved wide activations re-read in bwd ~2x), params+opt state ~6
+    # passes (fwd read, bwd read, grad write, AdamWN m/v read+write).
+    act_floats = batch * (3 * D + K + Cw + 2 * hid + 2 * L + D)
+    bytes_moved = 4 * (3 * act_floats + 6 * n_params)
+    roof_flops_s = flops / (PEAK_BF16_TFLOPS * 1e12)
+    roof_bw_s = bytes_moved / (HBM_GBS * 1e9)
+    roof = max(roof_flops_s, roof_bw_s)
+    return {
+        "config": f"cl_vae D{D} Cw{Cw} H{hid} B{batch} bf16",
+        "step_seconds": round(best, 6),
+        "steps_per_sec": round(1.0 / best, 1),
+        "tflops_per_step": round(flops / 1e12, 4),
+        "mfu": round(flops / best / (PEAK_BF16_TFLOPS * 1e12), 4),
+        "analytic_bytes_gb": round(bytes_moved / 1e9, 4),
+        "roofline_seconds": round(roof, 6),
+        "roofline_bound": "flops" if roof_flops_s >= roof_bw_s else "bandwidth",
+        "pct_of_roof": round(100 * roof / best, 1),
+    }
+
+
+def main():
+    import jax
+
+    assert jax.default_backend() == "tpu", "roofline numbers need a real TPU"
+    rows = []
+    for batch, hid in [(4096, 2048), (4096, 1024), (1024, 2048)]:
+        row = bench_step(batch, hid)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    with open(os.path.join(REPO, "artifacts", "vae_scale_bench.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    print("wrote artifacts/vae_scale_bench.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

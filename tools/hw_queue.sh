@@ -43,7 +43,7 @@ run_step() {
 }
 
 queue_done() {
-    for s in verify fused gen bench; do
+    for s in verify fused gen vaescale bench; do
         [ -f "$STATE/$s.done" ] || return 1
     done
     return 0
@@ -67,6 +67,7 @@ while true; do
         fi
         [ "$(attempts fused)" -lt 3 ] && run_step fused python tools/exp_fused.py
         [ "$(attempts gen)" -lt 3 ] && run_step gen python tools/bench_generate.py
+        [ "$(attempts vaescale)" -lt 3 ] && run_step vaescale python tools/bench_vae_scale.py
         [ "$(attempts bench)" -lt 3 ] && run_step bench python bench.py
         if queue_done; then
             echo "[hwq] queue complete ($(date -u +%H:%M:%S))"
