@@ -396,6 +396,9 @@ def main():
                 "error",
                 f"device backend init did not complete within {timeout_s:.0f}s "
                 "(TPU tunnel unreachable?)"),
+            "note": "hardware unreachable this run; last measured numbers live "
+                    "in BENCH_r*.json and artifacts/{train_scale_bench,"
+                    "generate_bench,lstm_bwd_bench,mfu_breakdown}.json",
         }), flush=True)  # flush: os._exit skips interpreter io cleanup
         # the hung init thread may hold runtime locks — hard-exit, not sys.exit
         os._exit(1)
