@@ -51,33 +51,47 @@ def _pad128(n: int) -> int:
 
 
 def _weight_bytes(D: int, H: int, L: int, mode: str) -> int:
-    """Resident VMEM cost of the kernel's constant weights (biases f32)."""
-    wb = {"f32": 4, "bf16": 2}[mode]
+    """Resident VMEM cost with each tensor at the dtype the kernel actually
+    loads it in (the int8 mode keeps the z heads bf16 and the decoder z rows
+    f32, and carries three per-column f32 scale vectors)."""
+    wb = {"f32": 4, "bf16": 2, "int8": 1}[mode]
     Hp, Dp = _pad128(H), _pad128(D)
     big = wb * (
         D * Hp          # encoder x rows
-        + Hp * 128      # z heads (lane-padded pack)
         + D * Hp        # decoder x_prev rows
         + Hp * Dp       # frame head
     )
+    z_head = (2 if mode == "int8" else wb) * Hp * 128  # bf16 floor in int8 mode
     z_rows = 4 * L * Hp                 # decoder z rows stay f32 (tiny)
     biases = 4 * (128 + Dp)             # bz + bx
-    return big + z_rows + biases
+    # int8 scales: ske/skd [1, Hp] + swx [1, Dp], f32
+    scales = 4 * (2 * Hp + Dp) if mode == "int8" else 0
+    return big + z_head + z_rows + biases + scales
 
 
 def pick_mode(cfg) -> str | None:
     """Weight precision for the fused kernel, or None when it can't run.
 
-    cl_vae checkpoints are f32 and the model is small (two [D, Hp] + one
-    [Hp, Dp] dense mats), so f32 is the default and the parity path; "bf16"
-    is available as an explicit A/B mode on the pallas entry point. Configs
-    without hidden layers (``intermediate_dim == 0``) have nothing for the
-    MXU to chew on — the XLA scan keeps them.
+    Mirrors :func:`..pallas_generate.pick_mode`: f32 checkpoints never
+    quantize (the parity path; at reference widths f32 fits trivially).
+    bf16 checkpoints (``--bf16_compute`` training, extension) take bf16
+    weights, escalating to INT8 when bf16 no longer fits — per-column
+    weight quantization, with binary frames exact in int8 and the one
+    unbounded activation (the decoder's relu hidden) dynamically
+    row-scaled in-kernel. Configs without hidden layers
+    (``intermediate_dim == 0``) have nothing for the MXU to chew on —
+    the XLA scan keeps them.
     """
     if not cfg.has_hidden:
         return None
     D, H, L = cfg.original_dim, cfg.intermediate_dim, cfg.latent_dim
     limit = _BUDGET - int(2.5 * 1024 * 1024)
+    if getattr(cfg, "bf16_compute", False):
+        if _weight_bytes(D, H, L, "bf16") < limit:
+            return "bf16"
+        if _weight_bytes(D, H, L, "int8") < limit:
+            return "int8"
+        return None
     return "f32" if _weight_bytes(D, H, L, "f32") < limit else None
 
 
@@ -175,6 +189,68 @@ def _make_kernel(block_t: int, H: int, L: int, use_x_prev: bool,
     return kernel
 
 
+def _make_kernel_int8(block_t: int, H: int, L: int, use_x_prev: bool,
+                      use_z_prior: bool):
+    """Int8-weight variant: the three large weights arrive as int8 with
+    per-column f32 scales; matmuls run int8 x int8 -> int32 on the MXU (2x
+    bf16 throughput on v5e). Frame inputs are binary (exact int8). The only
+    unbounded activation entering an int8 matmul is the decoder's relu
+    hidden, which gets a dynamic per-row scale (its max IS the row max —
+    relu output is non-negative). The z heads stay bf16 (tiny [Hp, 128];
+    z_log_var feeds an exp) and the L decoder z rows stay f32 rank-1 adds.
+
+    NOTE: mirrors :func:`_make_kernel` step for step — any change to the
+    shared generation semantics must be applied to BOTH kernels; the
+    int8-vs-f32 closeness tests anchor them together."""
+    f32, i8, i32 = jnp.float32, jnp.int8, jnp.int32
+
+    def qmm(a_q, w_ref, s_ref):
+        return jnp.dot(a_q, w_ref[:], preferred_element_type=i32).astype(f32) * s_ref[:]
+
+    def kernel(eps_ref, u_ref, seed_ref,
+               wke_ref, ske_ref, encb_ref, wz_ref, bz_ref,
+               wkd_x_ref, skd_ref, wkd_z_ref, decb_ref,
+               wx_ref, swx_ref, bx_ref,
+               x_out_ref, xm_out_ref,
+               xprev_scr, xprevt_scr):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            xprev_scr[:] = seed_ref[:]
+            xprevt_scr[:] = seed_ref[:]
+
+        def step(s, _):
+            xp = xprev_scr[:]
+            xpt = xprevt_scr[:]
+            h_e = jnp.maximum(qmm(xp.astype(i8), wke_ref, ske_ref) + encb_ref[:], 0.0)
+            zmv = jnp.dot(h_e.astype(jnp.bfloat16), wz_ref[:],
+                          preferred_element_type=f32) + bz_ref[:]
+            if use_z_prior:
+                z = eps_ref[s]
+            else:
+                z = zmv[:, :L] + jnp.exp(zmv[:, L : 2 * L] / 2) * eps_ref[s]
+            z_d = decb_ref[:]
+            for l in range(L):
+                z_d = z_d + z[:, l : l + 1] * wkd_z_ref[l : l + 1]
+            if use_x_prev:
+                z_d = z_d + qmm(xpt.astype(i8), wkd_x_ref, skd_ref)
+            h_d = jnp.maximum(z_d, 0.0)
+            # dynamic per-row activation scale (h_d >= 0 so max == max|.|)
+            rs = jnp.maximum(jnp.max(h_d, axis=-1, keepdims=True), 1e-12) / 127.0
+            hd_q = jnp.round(h_d / rs).astype(i8)
+            D = xprev_scr.shape[-1]
+            xm = jax.nn.sigmoid((qmm(hd_q, wx_ref, swx_ref) * rs + bx_ref[:]))[:, :D]
+            x_t = (u_ref[s] < xm).astype(f32)
+            xprevt_scr[:] = xp  # decoder input lags one step (model.py:23,40)
+            xprev_scr[:] = x_t
+            x_out_ref[s] = x_t
+            xm_out_ref[s] = xm
+            return 0
+
+        jax.lax.fori_loop(0, block_t, step, 0)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "nsteps", "use_z_prior", "return_probs", "mode"))
 def generate_cl_vae_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
@@ -185,8 +261,8 @@ def generate_cl_vae_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
 
     x_seeds [B, D] (single seed frame per song); eps [B, nsteps, L];
     u [B, nsteps, D]; ws [B, K] simplex points. Returns [B, nsteps, D]
-    (probs when ``return_probs``). ``mode`` ("f32"/"bf16") is a STATIC jit
-    argument so precision A/Bs get distinct trace-cache entries.
+    (probs when ``return_probs``). ``mode`` ("f32"/"bf16"/"int8") is a STATIC
+    jit argument so precision A/Bs get distinct trace-cache entries.
     """
     B, D = x_seeds.shape
     H, L, K = cfg.intermediate_dim, cfg.latent_dim, cfg.n_classes
@@ -195,7 +271,7 @@ def generate_cl_vae_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
     mode = mode or pick_mode(cfg)
     if mode is None:
         raise ValueError("model does not fit the fused generation kernel's VMEM budget")
-    wt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[mode]
+    wt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[mode]
     f32 = jnp.float32
     Hp, Dp = _pad128(H), _pad128(D)
     n_xp = D if cfg.use_x_prev else 0
@@ -231,40 +307,75 @@ def generate_cl_vae_batch_pallas(params, cfg, x_seeds, nsteps: int, eps, u, ws,
     const = lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
     song = lambda c: pl.BlockSpec((block_b, c), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
 
-    kernel = pl.pallas_call(
-        _make_kernel(block_t, H, L, cfg.use_x_prev, use_z_prior, wt),
-        grid=(nb, nt),
-        in_specs=[
-            t_spec(L),          # eps
-            t_spec(D),          # u
-            song(D),            # seed frame (scratch init)
-            const(D, Hp),       # encoder x rows
-            song(Hp),           # encb (w rows + bias, per song)
-            const(Hp, 128),     # z heads packed
-            const(1, 128),      # z bias
-            const(D, Hp),       # decoder x_prev rows
-            const(L, Hp),       # decoder z rows (f32)
-            song(Hp),           # decb
-            const(Hp, Dp),      # frame head
-            const(1, Dp),       # frame bias
-        ],
-        out_specs=(t_spec(D), t_spec(D)),
-        out_shape=(
-            jax.ShapeDtypeStruct((nsteps, B, D), f32),
-            jax.ShapeDtypeStruct((nsteps, B, D), f32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_b, D), f32),
-            pltpu.VMEM((block_b, D), f32),
-        ],
-        interpret=_interpret(),
-        compiler_params=_compiler_params(),
+    out_specs = (t_spec(D), t_spec(D))
+    out_shape = (
+        jax.ShapeDtypeStruct((nsteps, B, D), f32),
+        jax.ShapeDtypeStruct((nsteps, B, D), f32),
     )
-    x_out, xm_out = kernel(
-        tm(eps).astype(f32), tm(u).astype(f32), x_seeds.astype(f32),
-        wke.astype(wt), encb,
-        wz.astype(wt), bz,
-        wkd_x.astype(wt), wkd_z, decb,
-        wx.astype(wt), bx,
-    )
+    scratch = [
+        pltpu.VMEM((block_b, D), f32),
+        pltpu.VMEM((block_b, D), f32),
+    ]
+    streams = (tm(eps).astype(f32), tm(u).astype(f32), x_seeds.astype(f32))
+
+    if mode == "int8":
+        from .pallas_generate import _quant_cols
+
+        wke_q, ske = _quant_cols(wke)
+        wkd_q, skd = _quant_cols(wkd_x)
+        wx_q, swx = _quant_cols(wx)
+        kernel = pl.pallas_call(
+            _make_kernel_int8(block_t, H, L, cfg.use_x_prev, use_z_prior),
+            grid=(nb, nt),
+            in_specs=[
+                t_spec(L), t_spec(D), song(D),
+                const(D, Hp), const(1, Hp),   # encoder x rows + scales
+                song(Hp),                     # encb
+                const(Hp, 128), const(1, 128),  # z heads (bf16) + bias
+                const(D, Hp), const(1, Hp),   # decoder x rows + scales
+                const(L, Hp),                 # decoder z rows (f32)
+                song(Hp),                     # decb
+                const(Hp, Dp), const(1, Dp),  # frame head + scales
+                const(1, Dp),                 # frame bias
+            ],
+            out_specs=out_specs, out_shape=out_shape, scratch_shapes=scratch,
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )
+        x_out, xm_out = kernel(
+            *streams,
+            wke_q, ske, encb,
+            wz.astype(jnp.bfloat16), bz,
+            wkd_q, skd, wkd_z, decb,
+            wx_q, swx, bx,
+        )
+    else:
+        kernel = pl.pallas_call(
+            _make_kernel(block_t, H, L, cfg.use_x_prev, use_z_prior, wt),
+            grid=(nb, nt),
+            in_specs=[
+                t_spec(L),          # eps
+                t_spec(D),          # u
+                song(D),            # seed frame (scratch init)
+                const(D, Hp),       # encoder x rows
+                song(Hp),           # encb (w rows + bias, per song)
+                const(Hp, 128),     # z heads packed
+                const(1, 128),      # z bias
+                const(D, Hp),       # decoder x_prev rows
+                const(L, Hp),       # decoder z rows (f32)
+                song(Hp),           # decb
+                const(Hp, Dp),      # frame head
+                const(1, Dp),       # frame bias
+            ],
+            out_specs=out_specs, out_shape=out_shape, scratch_shapes=scratch,
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )
+        x_out, xm_out = kernel(
+            *streams,
+            wke.astype(wt), encb,
+            wz.astype(wt), bz,
+            wkd_x.astype(wt), wkd_z, decb,
+            wx.astype(wt), bx,
+        )
     return tm(xm_out if return_probs else x_out)

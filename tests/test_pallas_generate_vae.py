@@ -106,6 +106,50 @@ def test_fused_vae_bf16_mode_close():
     assert set(np.unique(np.asarray(got))) <= {0.0, 1.0}
 
 
+def test_fused_vae_int8_mode_close():
+    """Int8 weights (per-column scales; dynamic row scale on the decoder's
+    relu hidden): probs track the XLA f32 sampler at quantization order.
+    Mode forced via the static ``mode`` argument (a cached trace for the
+    same shapes would silently ignore a patched ``pick_mode``)."""
+    cfg, params, seeds, ws, eps, u, nsteps = _setup()
+    ref_p = generate_cl_vae_batch_noise(params, cfg, seeds, nsteps, eps, u, ws,
+                                        return_probs=True)
+    got_p = pallas_generate_vae.generate_cl_vae_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True, mode="int8")
+    # free-running: a near-threshold Bernoulli flip early shifts later frames
+    # in BOTH samplers' state, so the raw max compounds — bound it loosely
+    d = np.abs(np.asarray(got_p) - np.asarray(ref_p))
+    assert d.max() < 0.25 and d.mean() < 0.01, (d.max(), d.mean())
+    # pure quantization error, feedback isolated: u=1 forces all-zero frames
+    # in both samplers (identical state trajectories) — tight bound
+    u1 = jnp.ones_like(u)
+    ref_q = generate_cl_vae_batch_noise(params, cfg, seeds, nsteps, eps, u1, ws,
+                                        return_probs=True)
+    got_q = pallas_generate_vae.generate_cl_vae_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u1, ws, return_probs=True, mode="int8")
+    dq = np.abs(np.asarray(got_q) - np.asarray(ref_q))
+    assert dq.max() < 0.06 and dq.mean() < 0.003, (dq.max(), dq.mean())
+    f32_p = pallas_generate_vae.generate_cl_vae_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws, return_probs=True, mode="f32")
+    assert np.abs(np.asarray(got_p) - np.asarray(f32_p)).max() > 1e-6
+    got = pallas_generate_vae.generate_cl_vae_batch_pallas(
+        params, cfg, seeds, nsteps, eps, u, ws, mode="int8")
+    assert set(np.unique(np.asarray(got))) <= {0.0, 1.0}
+
+
+def test_vae_pick_mode_escalation():
+    """f32 checkpoints never quantize; bf16 checkpoints escalate bf16 ->
+    int8 -> None as widths outgrow the VMEM budget (mirrors the cl_vrnn
+    ladder)."""
+    mk = lambda h, bf16: cl_vae.Config(
+        original_dim=976, intermediate_dim=h, latent_dim=16, n_classes=13,
+        use_x_prev=True, bf16_compute=bf16)
+    assert pallas_generate_vae.pick_mode(mk(1024, False)) == "f32"
+    assert pallas_generate_vae.pick_mode(mk(1024, True)) == "bf16"
+    assert pallas_generate_vae.pick_mode(mk(5120, True)) == "int8"
+    assert pallas_generate_vae.pick_mode(mk(12288, True)) is None
+
+
 def test_resolve_gen_backend():
     """'keep' is identity; explicit choices replace; 'auto' stays xla off-TPU."""
     from classifying_vae_lstm_tpu.cli.common import resolve_gen_backend

@@ -79,7 +79,7 @@ def run(B, Tseed, nsteps, H, D=88, L=2, K=10, bf16=False, n=20,
     return rows
 
 
-def run_vae(B, nsteps, H, D=88, L=2, K=10, n=20, force_mode=None):
+def run_vae(B, nsteps, H, D=88, L=2, K=10, n=20, force_mode=None, bf16=False):
     """cl_vae family: batched scan vs the fused whole-generation kernel
     (ops/pallas_generate_vae). Same protocol as the cl_vrnn rows."""
     import jax
@@ -92,7 +92,8 @@ def run_vae(B, nsteps, H, D=88, L=2, K=10, n=20, force_mode=None):
         draw_generation_noise, generate_cl_vae_batch_noise)
 
     cfg = cl_vae.Config(original_dim=D, intermediate_dim=H, latent_dim=L,
-                        intermediate_class_dim=88, n_classes=K, use_x_prev=True)
+                        intermediate_class_dim=88, n_classes=K, use_x_prev=True,
+                        bf16_compute=bf16)
     params = cl_vae.init(jax.random.PRNGKey(0), cfg)
     seeds = (jax.random.uniform(jax.random.PRNGKey(1), (B, D)) < 0.1).astype(jnp.float32)
     ws = jax.nn.one_hot(jnp.arange(B) % K, K).astype(jnp.float32)
@@ -150,6 +151,10 @@ def main():
     rows += run_vae(256, 240, 512)                   # scaled serving
     rows += run_vae(256, 240, 1024)
     rows += run_vae(256, 240, 1024, force_mode="bf16")
+    # int8 rungs: policy A/B at a bf16-resident size + the escalation regime
+    # (seq-concat D=976, H=5120: bf16 outgrows VMEM, int8 still resident)
+    rows += run_vae(256, 240, 1024, force_mode="int8")
+    rows += run_vae(128, 240, 5120, D=976, L=16, force_mode="int8", bf16=True)
     with open(os.path.join(REPO, "artifacts", "generate_bench.json"), "w") as f:
         json.dump(rows, f, indent=2)
 

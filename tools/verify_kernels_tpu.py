@@ -202,6 +202,8 @@ def main():
         (20, 88, 512, True, "f32", 1e-5),     # padded batch blocks, wide H
         (64, 88, 512, False, "f32", 1e-5),    # no x_prev branch
         (64, 88, 512, True, "bf16", 5e-3),    # A/B precision rung
+        (64, 88, 512, True, "int8", 6e-2),    # quantized rung (dyn row scale)
+        (64, 976, 5120, True, "int8", 6e-2),  # escalation regime: bf16 > VMEM
     ]:
         cfg = cl_vae.Config(original_dim=D, intermediate_dim=H, latent_dim=2,
                             intermediate_class_dim=88, n_classes=10,
