@@ -572,11 +572,15 @@ def _lstm_seq_train_kernel_ilv(xz_ref, rk_ref, h0_ref, c0_ref,
 
 
 def _lstm_seq_kernel_tblocked_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
-                                 hseq_ref, cseq_ref, h_scr, c_scr):
+                                 hseq_ref, cseq_ref, h_scr, c_scr, xz_scr):
     """Fused-projection inference forward (t-blocked; nt=1 covers whole-T):
     :func:`_lstm_seq_kernel_tblocked` with the input projection computed
     in-kernel from the raw x block — same rounding point as the unfused
-    kernel's xz stream, so numerics match it exactly."""
+    kernel's xz stream, so numerics match it exactly. The projected block is
+    staged through VMEM scratch (``xz_scr``) rather than held as a value:
+    Mosaic cannot lower a traced-index slice of an in-register array
+    (dynamic_slice on values is unimplemented for the TC kernel type), while
+    the equivalent ref load is the same path the unfused xz stream uses."""
     T_blk, bb = x_ref.shape[0], x_ref.shape[1]
     H = h_scr.shape[-1]
 
@@ -590,10 +594,10 @@ def _lstm_seq_kernel_tblocked_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
     prec = "highest" if wt == f32 else None
     xz = jnp.dot(x_ref[:].reshape(T_blk * bb, -1).astype(wt), w_ref[:],
                  preferred_element_type=f32, precision=prec) + b_ref[:].astype(f32)
-    xz = xz.astype(x_ref.dtype).reshape(T_blk, bb, -1)
+    xz_scr[:] = xz.astype(x_ref.dtype).reshape(T_blk, bb, -1)
 
     def step(t, _):
-        z = xz[t].astype(f32) + jnp.dot(
+        z = xz_scr[t].astype(f32) + jnp.dot(
             h_scr[:].astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
         )
         i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
@@ -612,10 +616,12 @@ def _lstm_seq_kernel_tblocked_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
 
 
 def _lstm_seq_kernel_tblocked_fp_ilv(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
-                                     hseq_ref, cseq_ref, h_scr, c_scr):
+                                     hseq_ref, cseq_ref, h_scr, c_scr, xz_scr):
     """Interleaved fused-projection inference forward: the half-block
     MXU/VPU pipeline of :func:`_lstm_seq_kernel_tblocked_ilv` reading the
-    in-kernel xz instead of a streamed one."""
+    in-kernel xz instead of a streamed one (staged via ``xz_scr`` — see
+    :func:`_lstm_seq_kernel_tblocked_fp` for why values can't be
+    traced-index sliced in Mosaic)."""
     T_blk, bb = x_ref.shape[0], x_ref.shape[1]
     hb = h_scr.shape[0] // 2
     H = h_scr.shape[-1]
@@ -632,7 +638,7 @@ def _lstm_seq_kernel_tblocked_fp_ilv(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref
                            precision=prec)
     xz_all = jnp.dot(x_ref[:].reshape(T_blk * bb, -1).astype(wt), w_ref[:],
                      preferred_element_type=f32, precision=prec) + b_ref[:].astype(f32)
-    xz_all = xz_all.astype(x_ref.dtype).reshape(T_blk, bb, -1)
+    xz_scr[:] = xz_all.astype(x_ref.dtype).reshape(T_blk, bb, -1)
 
     def gates(z, c_prev):
         i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
@@ -642,17 +648,17 @@ def _lstm_seq_kernel_tblocked_fp_ilv(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref
         c = f * c_prev + i * g
         return o * jnp.tanh(c), c
 
-    zA0 = xz_all[0, :hb].astype(f32) + mm(h_scr[:hb])
+    zA0 = xz_scr[0, :hb].astype(f32) + mm(h_scr[:hb])
 
     def step(t, zA):
-        zB = xz_all[t, hb:].astype(f32) + mm(h_scr[hb:])   # MXU ...
+        zB = xz_scr[t, hb:].astype(f32) + mm(h_scr[hb:])   # MXU ...
         hA, cA = gates(zA, c_scr[:hb])                     # ... || VPU
         h_scr[:hb] = hA
         c_scr[:hb] = cA
         hseq_ref[t, :hb] = hA
         cseq_ref[t, :hb] = cA
         tn = jnp.minimum(t + 1, T_blk - 1)
-        zA_next = xz_all[tn, :hb].astype(f32) + mm(hA)     # MXU ...
+        zA_next = xz_scr[tn, :hb].astype(f32) + mm(hA)     # MXU ...
         hB, cB = gates(zB, c_scr[hb:])                     # ... || VPU
         h_scr[hb:] = hB
         c_scr[hb:] = cB
@@ -665,7 +671,8 @@ def _lstm_seq_kernel_tblocked_fp_ilv(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref
 
 def _lstm_seq_train_kernel_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
                               hseq_ref, cseq_ref, zseq_ref,
-                              hprevseq_ref, cprevseq_ref, h_scr, c_scr):
+                              hprevseq_ref, cprevseq_ref, h_scr, c_scr,
+                              xz_scr):
     """Fused-projection training forward (_FUSE_PROJ): identical math to
     :func:`_lstm_seq_train_kernel` except (a) the input projection is
     computed here from the raw x block — one [bt*bb, INp] @ [INp, 4H] MXU
@@ -690,14 +697,16 @@ def _lstm_seq_train_kernel_fp(x_ref, w_ref, b_ref, rk_ref, h0_ref, c0_ref,
     sd = zseq_ref.dtype
     xz = jnp.dot(x_ref[:].reshape(T_blk * bb, -1).astype(wt), w_ref[:],
                  preferred_element_type=f32, precision=prec) + b_ref[:].astype(f32)
-    xz = xz.astype(sd).reshape(T_blk, bb, -1)
+    # stage through VMEM scratch: traced-index slices of values don't lower
+    # (see _lstm_seq_kernel_tblocked_fp)
+    xz_scr[:] = xz.astype(sd).reshape(T_blk, bb, -1)
 
     def step(t, _):
         h_prev = h_scr[:]
         c_prev = c_scr[:]
         hprevseq_ref[t] = h_prev.astype(hprevseq_ref.dtype)
         cprevseq_ref[t] = c_prev
-        z = xz[t].astype(f32) + jnp.dot(
+        z = xz_scr[t].astype(f32) + jnp.dot(
             h_prev.astype(wt), rk_ref[:], preferred_element_type=f32, precision=prec
         )
         i = jnp.clip(0.2 * z[:, :H] + 0.5, 0.0, 1.0)
@@ -1082,6 +1091,7 @@ def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
         scratch_shapes=[
             pltpu.VMEM((block_b, H), jnp.float32),
             pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_t, block_b, H4), sd),  # staged in-kernel xz
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
@@ -1131,6 +1141,7 @@ def _forward_kernel_call_fp(x_t, w, b, rk, h0, c0):
         scratch_shapes=[
             pltpu.VMEM((block_b, H), jnp.float32),
             pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_t, block_b, H4), sd),  # staged in-kernel xz
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
