@@ -1255,6 +1255,22 @@ def _backward_call_drk(z_seq, c_prev_seq, c_seq, h_prev_seq, dh_seq, dc_seq, rk_
     return kernel(z_seq, c_prev_seq, c_seq, h_prev_seq, dh_seq, dc_seq, rk_t)
 
 
+def _full_bwd_blocks(T, B, H, INp, sd):
+    """Block pick for the fully-fused backward — shared with the
+    :func:`_core_fp_bwd` gate so the padded-grid fallback decision sees the
+    exact blocks the kernel would run with."""
+    sb = jnp.dtype(sd).itemsize
+    # z in (4H) + hprev in (H) at stream dtype, x in + dx out (INp each, in
+    # H units) at stream dtype; cprev/c/dh/dc (4H total) f32
+    stream_bytes = 5 * sb + 16 + 2 * -(-INp * sb // H)
+    return _pick_blocks(B, T, H, sb, stream_bytes,
+                        min_sublane=16 if sb == 2 else 8, prefer_bt1=True)
+
+
+def _full_bwd_block_b(T, B, H, INp, sd) -> int:
+    return _full_bwd_blocks(T, B, H, INp, sd)[0]
+
+
 def _backward_call_full(z_seq, c_prev_seq, c_seq, h_prev_seq, x_t, dh_seq,
                         dc_seq, rk_t, w_t):
     """Fully-fused backward: returns ``(dx_t, dh0, dc0, drk, dw, db)`` with
@@ -1265,13 +1281,7 @@ def _backward_call_full(z_seq, c_prev_seq, c_seq, h_prev_seq, x_t, dh_seq,
     H = H4 // 4
     INp = x_t.shape[-1]
     sd = z_seq.dtype
-    sb = jnp.dtype(sd).itemsize
-    # z in (4H) + hprev in (H) at stream dtype, x in + dx out (INp each, in
-    # H units) at stream dtype; cprev/c/dh/dc (4H total) f32
-    stream_bytes = 5 * sb + 16 + 2 * -(-INp * sb // H)
-    block_b, block_t = _pick_blocks(B, T, H, rk_t.dtype.itemsize, stream_bytes,
-                                    min_sublane=16 if sb == 2 else 8,
-                                    prefer_bt1=True)
+    block_b, block_t = _full_bwd_blocks(T, B, H, INp, sd)
     if block_t is None:
         block_t = T
     nb = pl.cdiv(B, block_b)
@@ -1401,12 +1411,18 @@ def _core_fp_bwd(res, grads):
     INp = x_t.shape[-1]
     wt = rk.dtype
     prec = "highest" if wt == jnp.float32 else None
-    if _FUSE_BWD_FULL:
+    if _FUSE_BWD_FULL and B % _full_bwd_block_b(T, B, H, INp, z_seq.dtype) == 0:
+        # the fully-fused backward is gated to exactly-dividing batch blocks:
+        # at padded grids (B % bb != 0) the kernel faults the TPU worker on
+        # hardware (verify_kernels_tpu round-3 run, B500 H512 bf16) even
+        # though the drk rung with the same padded grid is clean and the
+        # masked numerics pass CPU interpret — padded batches fall back to
+        # the drk rung + external projection backward (identical math)
         dx, dh0, dc0, drk, dw, db = _backward_call_full(
             z_seq, cp_seq, c_seq, hp_seq, x_t,
             dh_seq, dc_seq, rk.T.astype(wt), w.T.astype(wt))
         return dx, dw, db, drk.astype(wt), dh0, dc0
-    if _FUSE_DRK:
+    if _FUSE_DRK or _FUSE_BWD_FULL:
         dz_seq, dh0, dc0, drk = _backward_call_drk(
             z_seq, cp_seq, c_seq, hp_seq, dh_seq, dc_seq, rk.T.astype(wt))
     else:
