@@ -127,6 +127,9 @@ def cl_vrnn_config_from_args(margs: dict) -> cl_vrnn.Config:
         w_log_var_prior=margs.get("w_log_var_prior", 0.0),
         lstm_backend=margs.get("lstm_backend", "xla"),
         bf16_compute=margs.get("bf16_compute", False),
+        # args.json round-trips the tuple as a JSON list; re-tuple so the
+        # Config stays hashable (it rides through jit as a static argument)
+        fusion=tuple(margs["fusion"]) if margs.get("fusion") else None,
     )
 
 

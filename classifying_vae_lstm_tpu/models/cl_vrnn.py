@@ -56,6 +56,9 @@ class Config:
     lstm_backend: str = "xla"  # 'xla' (lax.scan) or 'pallas' (fused kernel)
     remat: bool = False  # jax.checkpoint the scan body (long-context memory)
     bf16_compute: bool = False  # bf16 matmul operands, f32 accumulation
+    # pallas kernel-fusion triple (proj, drk, full); None = set_fusion policy
+    # defaults (ops/pallas_lstm.resolve_fusion) — static, hashable, frozen
+    fusion: tuple | None = None
 
 
 def init(key, cfg: Config) -> dict:
@@ -103,6 +106,7 @@ def encode_z_sequence(params, cfg: Config, x, w, h0=None, c0=None, dropout_key=N
         params["encoder_h"], xw, h0, c0, backend=cfg.lstm_backend, remat=cfg.remat,
         compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
         dropout=cfg.dropout, dropout_key=dropout_key,
+        fusion=cfg.fusion if cfg.lstm_backend == "pallas" else None,
     )
     return dense(params["Z_mean"], h_seq), dense(params["Z_log_var"], h_seq), state
 
@@ -115,6 +119,7 @@ def decode_sequence(params, cfg: Config, z, w, x_prev=None, h0=None, c0=None, dr
         params["decoder_h"], xpz, h0, c0, backend=cfg.lstm_backend, remat=cfg.remat,
         compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
         dropout=cfg.dropout, dropout_key=dropout_key,
+        fusion=cfg.fusion if cfg.lstm_backend == "pallas" else None,
     )
     return dense(params["X_decoded_mean"], h_seq, jax.nn.sigmoid), state
 

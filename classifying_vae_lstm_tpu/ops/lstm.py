@@ -79,6 +79,7 @@ def lstm_sequence(
     compute_dtype=None,
     dropout: float = 0.0,
     dropout_key=None,
+    fusion=None,
 ):
     """Run an LSTM over a full sequence. x: [B, T, in] -> h_seq [B, T, H].
 
@@ -95,6 +96,9 @@ def lstm_sequence(
     * ``compute_dtype=jnp.bfloat16`` casts the matmul operands (accumulation
       stays f32 via ``preferred_element_type``) — the MXU-native mode for
       scaled-up hidden sizes;
+    * ``fusion``: static (proj, drk, full) kernel-fusion triple for the
+      pallas backend (see :func:`..ops.pallas_lstm.resolve_fusion`); ``None``
+      takes the set_fusion policy defaults. Rejected on other backends;
     * ``dropout``/``dropout_key``: Keras-2.0 LSTM constructor-``dropout``
       semantics (per-gate input masks, constant over time — see
       :func:`keras_lstm_dropout_masks`); the masks only reshape the hoisted
@@ -116,7 +120,12 @@ def lstm_sequence(
             raise ValueError("remat is not supported on the pallas backend")
         from .pallas_lstm import lstm_sequence_pallas
 
-        return lstm_sequence_pallas(params, x, h0, c0, compute_dtype=compute_dtype)
+        return lstm_sequence_pallas(params, x, h0, c0, compute_dtype=compute_dtype,
+                                    fusion=fusion)
+
+    if fusion is not None:
+        raise ValueError("fusion is a pallas-backend knob; backend is "
+                         f"{backend!r}")
 
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

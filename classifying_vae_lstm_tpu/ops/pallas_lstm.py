@@ -107,10 +107,14 @@ _FUSE_BWD_FULL = False
 
 def set_fusion(proj: bool | None = None, drk: bool | None = None,
                full: bool | None = None) -> tuple[bool, bool, bool]:
-    """Toggle the experimental kernel fusions; returns the previous triple.
+    """Set the module-level fusion POLICY DEFAULTS; returns the previous triple.
 
-    Fusion choices are baked in at trace time — build a fresh ``jax.jit``
-    wrapper after changing them (same caveat as :func:`set_vmem_budget`).
+    These globals are only the defaults consumed when a caller passes
+    ``fusion=None`` to :func:`lstm_sequence_pallas` — the fusion choice
+    itself is a static argument plumbed through the custom_vjp cores
+    (``nondiff_argnums``), so A/Bs and per-config policies pass it
+    explicitly and never depend on trace-time global state (the round-3
+    bf16-vs-int8 lesson: cached traces silently ignore later global flips).
     ``full`` only takes effect on the fused-projection training path and
     implies the drk fusion there."""
     global _FUSE_PROJ, _FUSE_DRK, _FUSE_BWD_FULL
@@ -122,6 +126,23 @@ def set_fusion(proj: bool | None = None, drk: bool | None = None,
     if full is not None:
         _FUSE_BWD_FULL = bool(full)
     return prev
+
+
+def resolve_fusion(
+    fusion: tuple[bool, bool, bool] | None,
+) -> tuple[bool, bool, bool]:
+    """Normalize a (proj, drk, full) triple; ``None`` -> the policy defaults.
+
+    ``full`` requires the fused-projection forward (it consumes the x/hprev
+    streams that only the fp kernel emits) — without proj it is dropped, the
+    same "only takes effect on the fp path" semantics set_fusion documents —
+    and implies drk on fallback paths, so the triple is canonicalized here
+    once rather than at every gate."""
+    if fusion is None:
+        fusion = (_FUSE_PROJ, _FUSE_DRK, _FUSE_BWD_FULL)
+    proj, drk, full = (bool(f) for f in fusion)
+    full = full and proj
+    return proj, drk or full, full
 
 
 def set_vmem_budget(block_budget: int | None = None,
@@ -1039,6 +1060,26 @@ def _forward_train_call(xz_t, rk, h0, c0):
     return kernel(xz_t, rk, h0, c0)
 
 
+def _assert_fp_vmem_total(block_t, block_b, H, INp, sb, rk_bytes, stream_bytes):
+    """The fused-projection call sites keep extra residents OUTSIDE the block
+    budget by design (W at the compute dtype, the staged xz scratch) so the
+    measured-best stream blocks don't shrink — but a whole-T pick makes the
+    xz scratch scale with T, so guard the TOTAL against the Mosaic scoped
+    limit instead of silently overrunning it at long-T shapes."""
+    rk_cost = H * 4 * H * rk_bytes
+    w_cost = INp * 4 * H * rk_bytes + 4 * 4 * H  # W (compute dtype) + f32 bias
+    xz_scratch = block_t * block_b * 4 * H * sb
+    streams = 2 * block_t * block_b * stream_bytes * H  # double-buffered
+    hc_scratch = 4 * 2 * block_b * H
+    total = rk_cost + w_cost + xz_scratch + streams + hc_scratch
+    if total >= _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f"fused-projection blocks (bt={block_t}, bb={block_b}) need "
+            f"~{total / 2**20:.1f} MB of VMEM (limit "
+            f"{_VMEM_LIMIT_BYTES / 2**20:.0f} MB) — T={block_t} whole-sequence "
+            "staging does not fit; use the unfused path at this shape")
+
+
 def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
     """Fused-projection training forward: x_t [T, B, INp] (lane-padded),
     w [INp, 4H] f32, b [1, 4H] f32 -> (h_seq, c_seq, z_seq).
@@ -1060,6 +1101,8 @@ def _forward_train_call_fp(x_t, w, b, rk, h0, c0):
                                     prefer_bt1=True)
     if block_t is None:
         block_t = T
+    _assert_fp_vmem_total(block_t, block_b, H, INp, sb,
+                          rk.dtype.itemsize, stream_bytes)
     nb = pl.cdiv(B, block_b)
     nt = pl.cdiv(T, block_t)
     seq = lambda b_, t: (t, b_, 0)
@@ -1116,6 +1159,8 @@ def _forward_kernel_call_fp(x_t, w, b, rk, h0, c0):
                                     min_sublane=16 if sb == 2 else 8)
     if block_t is None:
         block_t = T
+    _assert_fp_vmem_total(block_t, block_b, H, INp, sb,
+                          rk.dtype.itemsize, stream_bytes)
     nb = pl.cdiv(B, block_b)
     nt = pl.cdiv(T, block_t)
     kernel = pl.pallas_call(
@@ -1263,6 +1308,10 @@ def _full_bwd_blocks(T, B, H, INp, sd):
     # z in (4H) + hprev in (H) at stream dtype, x in + dx out (INp each, in
     # H units) at stream dtype; cprev/c/dh/dc (4H total) f32
     stream_bytes = 5 * sb + 16 + 2 * -(-INp * sb // H)
+    # rk-bytes arg: the resident rk.T is budgeted at the STREAM itemsize —
+    # correct only because the fp path forces rk to the stream dtype
+    # (lstm_sequence_pallas casts rk to `sd`); a future mixed-precision rk
+    # must pass its own itemsize here or the weight is mis-budgeted
     return _pick_blocks(B, T, H, sb, stream_bytes,
                         min_sublane=16 if sb == 2 else 8, prefer_bt1=True)
 
@@ -1281,6 +1330,8 @@ def _backward_call_full(z_seq, c_prev_seq, c_seq, h_prev_seq, x_t, dh_seq,
     H = H4 // 4
     INp = x_t.shape[-1]
     sd = z_seq.dtype
+    # _full_bwd_blocks budgets the resident rk.T at the stream itemsize
+    assert rk_t.dtype == sd, (rk_t.dtype, sd)
     block_b, block_t = _full_bwd_blocks(T, B, H, INp, sd)
     if block_t is None:
         block_t = T
@@ -1328,8 +1379,12 @@ def _backward_call_full(z_seq, c_prev_seq, c_seq, h_prev_seq, x_t, dh_seq,
                   rk_t, w_t)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _lstm_pallas_core(xz_t, rk, h0, c0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_pallas_core(drk: bool, xz_t, rk, h0, c0):
+    # `drk` is the static fused-weight-gradient switch (resolve_fusion()[1]);
+    # the primal forward ignores it but it must be part of the signature so
+    # the vjp picks the right backward kernel without global state
+    del drk
     # xz in (4H) at its own dtype, h/c out (2H) f32
     stream_bytes = 4 * jnp.dtype(xz_t.dtype).itemsize + 8
     block_b, block_t = _pick_blocks(
@@ -1340,15 +1395,16 @@ def _lstm_pallas_core(xz_t, rk, h0, c0):
     return h_seq, c_seq
 
 
-def _core_fwd(xz_t, rk, h0, c0):
+def _core_fwd(drk, xz_t, rk, h0, c0):
+    del drk
     h_seq, c_seq, z_seq = _forward_train_call(xz_t, rk, h0, c0)
     return (h_seq, c_seq), (rk, h0, c0, h_seq, c_seq, z_seq)
 
 
-def _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq, dh_seq, dc_seq):
+def _bptt_and_drk(drk, rk, h0, c0, h_seq, c_seq, z_seq, dh_seq, dc_seq):
     """Shared backward: reverse-time kernel + recurrent weight gradient.
 
-    With ``_FUSE_DRK`` the weight gradient accumulates inside the kernel;
+    With ``drk`` (static) the weight gradient accumulates inside the kernel;
     otherwise it is one big order-independent [H, B*T] @ [B*T, 4H] MXU
     matmul over the saved hidden sequence. Returns (dz_seq, drk f32, dh0, dc0)."""
     T, B, H4 = z_seq.shape
@@ -1358,7 +1414,7 @@ def _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq, dh_seq, dc_seq):
 
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
     h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
-    if _FUSE_DRK:
+    if drk:
         dz_seq, dh0, dc0, drk = _backward_call_drk(
             z_seq, c_prev_seq, c_seq, h_prev_seq.astype(z_seq.dtype),
             dh_seq, dc_seq, rk.T.astype(wt))
@@ -1373,28 +1429,32 @@ def _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq, dh_seq, dc_seq):
     return dz_seq, drk, dh0, dc0
 
 
-def _core_bwd(res, grads):
+def _core_bwd(drk, res, grads):
     """Pallas reverse-time BPTT + the recurrent weight gradient."""
     rk, h0, c0, h_seq, c_seq, z_seq = res
     dh_seq, dc_seq = grads
-    dz_seq, drk, dh0, dc0 = _bptt_and_drk(rk, h0, c0, h_seq, c_seq, z_seq,
-                                          dh_seq, dc_seq)
-    return dz_seq, drk.astype(rk.dtype), dh0, dc0
+    dz_seq, drk_g, dh0, dc0 = _bptt_and_drk(drk, rk, h0, c0, h_seq, c_seq,
+                                            z_seq, dh_seq, dc_seq)
+    return dz_seq, drk_g.astype(rk.dtype), dh0, dc0
 
 
 _lstm_pallas_core.defvjp(_core_fwd, _core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _lstm_pallas_core_fp(x_t, w, b, rk, h0, c0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _lstm_pallas_core_fp(drk: bool, full: bool, x_t, w, b, rk, h0, c0):
     """Fused-projection core: x_t [T, B, INp] (lane-padded) at the stream
     dtype, w [INp, 4H] f32, b [1, 4H] f32. Both the primal (inference) and
-    the vjp forward compute the projection in-kernel; the projection
-    backward stays XLA (dW/dx/db from the streamed dz_seq)."""
+    the vjp forward compute the projection in-kernel. ``drk``/``full`` are
+    the static backward-fusion switches (resolve_fusion()[1:]): without
+    either, the projection backward stays XLA (dW/dx/db from the streamed
+    dz_seq)."""
+    del drk, full
     return _forward_kernel_call_fp(x_t, w, b, rk, h0, c0)
 
 
-def _core_fp_fwd(x_t, w, b, rk, h0, c0):
+def _core_fp_fwd(drk, full, x_t, w, b, rk, h0, c0):
+    del drk, full
     h_seq, c_seq, z_seq, hp_seq, cp_seq = _forward_train_call_fp(
         x_t, w, b, rk, h0, c0)
     # the PREV sequences come out of the kernel (h0/c0 embedded as row 0), so
@@ -1403,7 +1463,7 @@ def _core_fp_fwd(x_t, w, b, rk, h0, c0):
     return (h_seq, c_seq), (x_t, w, rk, hp_seq, cp_seq, c_seq, z_seq)
 
 
-def _core_fp_bwd(res, grads):
+def _core_fp_bwd(drk, full, res, grads):
     x_t, w, rk, hp_seq, cp_seq, c_seq, z_seq = res
     dh_seq, dc_seq = grads
     T, B, H4 = z_seq.shape
@@ -1411,24 +1471,24 @@ def _core_fp_bwd(res, grads):
     INp = x_t.shape[-1]
     wt = rk.dtype
     prec = "highest" if wt == jnp.float32 else None
-    if _FUSE_BWD_FULL and B % _full_bwd_block_b(T, B, H, INp, z_seq.dtype) == 0:
+    if full and B % _full_bwd_block_b(T, B, H, INp, z_seq.dtype) == 0:
         # the fully-fused backward is gated to exactly-dividing batch blocks:
         # at padded grids (B % bb != 0) the kernel faults the TPU worker on
         # hardware (verify_kernels_tpu round-3 run, B500 H512 bf16) even
         # though the drk rung with the same padded grid is clean and the
         # masked numerics pass CPU interpret — padded batches fall back to
         # the drk rung + external projection backward (identical math)
-        dx, dh0, dc0, drk, dw, db = _backward_call_full(
+        dx, dh0, dc0, drk_g, dw, db = _backward_call_full(
             z_seq, cp_seq, c_seq, hp_seq, x_t,
             dh_seq, dc_seq, rk.T.astype(wt), w.T.astype(wt))
-        return dx, dw, db, drk.astype(wt), dh0, dc0
-    if _FUSE_DRK or _FUSE_BWD_FULL:
-        dz_seq, dh0, dc0, drk = _backward_call_drk(
+        return dx, dw, db, drk_g.astype(wt), dh0, dc0
+    if drk:
+        dz_seq, dh0, dc0, drk_g = _backward_call_drk(
             z_seq, cp_seq, c_seq, hp_seq, dh_seq, dc_seq, rk.T.astype(wt))
     else:
         dz_seq, dh0, dc0 = _backward_call(z_seq, cp_seq, c_seq, dh_seq,
                                           dc_seq, rk.T.astype(wt))
-        drk = jnp.dot(
+        drk_g = jnp.dot(
             hp_seq.reshape(T * B, H).T.astype(wt),
             dz_seq.reshape(T * B, H4).astype(wt),
             preferred_element_type=jnp.float32, precision=prec,
@@ -1442,18 +1502,24 @@ def _core_fp_bwd(res, grads):
     dx = jnp.dot(dzf.astype(wt), w.T.astype(wt),
                  preferred_element_type=jnp.float32,
                  precision=prec).reshape(T, B, INp).astype(x_t.dtype)
-    return dx, dw, db, drk.astype(wt), dh0, dc0
+    return dx, dw, db, drk_g.astype(wt), dh0, dc0
 
 
 _lstm_pallas_core_fp.defvjp(_core_fp_fwd, _core_fp_bwd)
 
 
-def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
+def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None, fusion=None):
     """Drop-in for :func:`..ops.lstm.lstm_sequence` with the fused kernel.
 
     ``compute_dtype=jnp.bfloat16`` is the scaled mode: matmul operands in
     bf16 (f32 accumulation), and — decisive for VMEM at H>=512 — the resident
-    recurrent weight stored bf16 inside the kernel."""
+    recurrent weight stored bf16 inside the kernel.
+
+    ``fusion`` is the static (proj, drk, full) kernel-fusion triple
+    (:func:`resolve_fusion`); ``None`` takes the :func:`set_fusion` policy
+    defaults. It is threaded into the custom_vjp cores as ``nondiff_argnums``
+    so two traces with different fusion never alias a jit cache entry."""
+    proj, drk, full = resolve_fusion(fusion)
     H = params["recurrent_kernel"].shape[0]
     rk_bf16 = compute_dtype is not None and jnp.dtype(compute_dtype).itemsize == 2
     if not rk_fits_vmem(H, bf16=rk_bf16):
@@ -1461,7 +1527,7 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
             f"hidden dim {H}: recurrent weight does not fit the kernel's VMEM "
             "budget — use the XLA backend (resolve_lstm_backend 'auto' gates "
             "on rk_fits_vmem)")
-    if _FUSE_PROJ:
+    if proj:
         # experimental: the projection moves INSIDE the kernels — the
         # per-block matmul sits off the serial chain in training, and the
         # inference forward fuses it too (_forward_kernel_call_fp).
@@ -1477,7 +1543,7 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
             x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, INp - IN)))
             w = jnp.pad(w, ((0, INp - IN), (0, 0)))
         b = params["bias"].astype(jnp.float32).reshape(1, -1)
-        h_seq, c_seq = _lstm_pallas_core_fp(x_t, w, b, rk, h0, c0)
+        h_seq, c_seq = _lstm_pallas_core_fp(drk, full, x_t, w, b, rk, h0, c0)
         return jnp.swapaxes(h_seq, 0, 1), (h_seq[-1], c_seq[-1])
 
     # the FLOP-heavy input projection stays a single large XLA matmul
@@ -1494,5 +1560,5 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None):
                       precision="highest") + params["bias"]).astype(jnp.float32)
         rk = params["recurrent_kernel"].astype(jnp.float32)
     xz_t = jnp.swapaxes(xz, 0, 1)
-    h_seq, c_seq = _lstm_pallas_core(xz_t, rk, h0, c0)
+    h_seq, c_seq = _lstm_pallas_core(drk, xz_t, rk, h0, c0)
     return jnp.swapaxes(h_seq, 0, 1), (h_seq[-1], c_seq[-1])

@@ -288,61 +288,62 @@ def test_interleaved_inference_kernels_match_xla(monkeypatch):
 
 
 def test_fused_proj_matches_xla(monkeypatch):
-    """_FUSE_PROJ: the training forward computes x @ W + b inside the kernel
-    (lane-padded to 128); forward, every grad, and the inference primal must
-    match the XLA scan. Forces multi-block grids plus a PADDED batch block."""
+    """fusion=(proj,): the training forward computes x @ W + b inside the
+    kernel (lane-padded to 128); forward, every grad, and the inference
+    primal must match the XLA scan. Forces multi-block grids plus a PADDED
+    batch block."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
         lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
     )
+    fu = (True, False, False)
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))  # 20 % 8 != 0
     h0 = jax.random.normal(jax.random.PRNGKey(2), (20, 16))
     c0 = jax.random.normal(jax.random.PRNGKey(3), (20, 16))
 
     ha, (hTa, cTa) = lstm_sequence(p, x, h0, c0, backend="xla")
-    hb, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    hb, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas", fusion=fu)
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTb), rtol=1e-5, atol=1e-6)
 
-    def loss(p, x, h0, c0, backend):
-        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+    def loss(p, x, h0, c0, backend, fusion=None):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend, fusion=fusion)
         return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
 
     for argnums in [0, 1, 2, 3]:
         ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
-        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
+        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas", fu)
         for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
 
 def test_fused_drk_matches_xla(monkeypatch):
-    """_FUSE_DRK: the backward kernel accumulates the recurrent weight grad
-    across b-blocks AND reversed t-blocks; a padded batch block exercises the
-    out-of-range row mask that protects the reduction."""
+    """fusion=(drk,): the backward kernel accumulates the recurrent weight
+    grad across b-blocks AND reversed t-blocks; a padded batch block
+    exercises the out-of-range row mask that protects the reduction."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
         lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
     )
+    fu = (False, True, False)
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))
     h0 = jax.random.normal(jax.random.PRNGKey(2), (20, 16))
     c0 = jax.random.normal(jax.random.PRNGKey(3), (20, 16))
 
-    def loss(p, x, h0, c0, backend):
-        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+    def loss(p, x, h0, c0, backend, fusion=None):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend, fusion=fusion)
         return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
 
     for argnums in [0, 1, 2, 3]:
         ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
-        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
+        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas", fu)
         for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
@@ -353,8 +354,6 @@ def test_fused_both_bf16_close_to_f32(monkeypatch):
     configuration they target): grads stay close to the f32 XLA scan."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
-    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
         lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (16, 1),
@@ -362,12 +361,12 @@ def test_fused_both_bf16_close_to_f32(monkeypatch):
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 12))
 
-    def loss(p, backend, cd):
-        h, _ = lstm_sequence(p, x, backend=backend, compute_dtype=cd)
+    def loss(p, backend, cd, fusion=None):
+        h, _ = lstm_sequence(p, x, backend=backend, compute_dtype=cd, fusion=fusion)
         return jnp.mean(h**2)
 
     ga = jax.grad(loss)(p, "xla", None)
-    gb = jax.grad(loss)(p, "pallas", jnp.bfloat16)
+    gb = jax.grad(loss)(p, "pallas", jnp.bfloat16, (True, True, False))
     for k in ga:
         a, b = np.asarray(ga[k], np.float32), np.asarray(gb[k], np.float32)
         assert np.all(np.abs(a - b) <= 0.05 * np.abs(a).max() + 1e-4), k
@@ -378,38 +377,69 @@ def test_set_fusion_roundtrip():
 
     prev = pallas_lstm.set_fusion(proj=True, drk=True, full=True)
     assert prev == (False, False, False)
+    # the globals are only the fusion=None policy defaults
+    assert pallas_lstm.resolve_fusion(None) == (True, True, True)
     assert pallas_lstm.set_fusion(*prev) == (True, True, True)
     assert (pallas_lstm._FUSE_PROJ, pallas_lstm._FUSE_DRK,
             pallas_lstm._FUSE_BWD_FULL) == (False, False, False)
+    assert pallas_lstm.resolve_fusion(None) == (False, False, False)
+    # canonicalization: full implies drk; full without proj is dropped (it
+    # only exists on the fused-projection path)
+    assert pallas_lstm.resolve_fusion((True, False, True)) == (True, True, True)
+    assert pallas_lstm.resolve_fusion((False, False, True)) == (False, False, False)
 
 
 def test_fused_bwd_full_matches_xla(monkeypatch):
-    """_FUSE_BWD_FULL: dW/db/dx/drk all computed inside the backward kernel
-    (dz never leaves VMEM); every grad must match the XLA scan, including a
-    padded batch block (mask covers dz AND the hprev/x matmul operands)."""
+    """fusion=(proj, drk, full): dW/db/dx/drk all computed inside the backward
+    kernel (dz never leaves VMEM); every grad must match the XLA scan.
+
+    Two routings, both asserted explicitly (the padded-grid full kernel
+    faults real TPUs — commit dc31119 — so _core_fp_bwd gates on exact
+    division): B=16 with bb=8 divides exactly and must take the FULL rung;
+    B=20 pads the last block and must take the drk fallback. Both must be
+    grad-exact vs XLA."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
-    monkeypatch.setattr(pallas_lstm, "_FUSE_BWD_FULL", True)
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
         lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
     )
-    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
-    x = jax.random.normal(jax.random.PRNGKey(1), (20, 8, 12))  # 20 % 8 != 0
-    h0 = jax.random.normal(jax.random.PRNGKey(2), (20, 16))
-    c0 = jax.random.normal(jax.random.PRNGKey(3), (20, 16))
+    calls = {"full": 0, "drk": 0}
+    real_full = pallas_lstm._backward_call_full
+    real_drk = pallas_lstm._backward_call_drk
 
-    def loss(p, x, h0, c0, backend):
-        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend)
+    def spy_full(*a, **k):
+        calls["full"] += 1
+        return real_full(*a, **k)
+
+    def spy_drk(*a, **k):
+        calls["drk"] += 1
+        return real_drk(*a, **k)
+
+    monkeypatch.setattr(pallas_lstm, "_backward_call_full", spy_full)
+    monkeypatch.setattr(pallas_lstm, "_backward_call_drk", spy_drk)
+
+    fu = (True, True, True)
+    p = init_lstm(jax.random.PRNGKey(0), 12, 16)
+
+    def loss(p, x, h0, c0, backend, fusion=None):
+        h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend, fusion=fusion)
         return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
 
-    for argnums in [0, 1, 2, 3]:
-        ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
-        gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas")
-        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+    for B, route in [(16, "full"), (20, "drk")]:  # 16 % 8 == 0; 20 % 8 != 0
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 12))
+        h0 = jax.random.normal(jax.random.PRNGKey(2), (B, 16))
+        c0 = jax.random.normal(jax.random.PRNGKey(3), (B, 16))
+        before = dict(calls)
+        for argnums in [0, 1, 2, 3]:
+            ga = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "xla")
+            gb = jax.grad(loss, argnums=argnums)(p, x, h0, c0, "pallas", fu)
+            for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-5)
+        took = {k: calls[k] - before[k] for k in calls}
+        assert took[route] == 4 and took["full" if route == "drk" else "drk"] == 0, (
+            B, took)
 
 
 def test_fused_proj_inference_interleaved(monkeypatch):
@@ -418,7 +448,7 @@ def test_fused_proj_inference_interleaved(monkeypatch):
     plain fp kernel (whole-T as nt=1) — both must match the XLA scan."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
+    fu = (True, False, False)
     p = init_lstm(jax.random.PRNGKey(0), 12, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (64, 8, 12))
     h0 = jax.random.normal(jax.random.PRNGKey(2), (64, 16))
@@ -430,7 +460,7 @@ def test_fused_proj_inference_interleaved(monkeypatch):
         lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (32, 4),
     )
     assert pallas_lstm._use_interleave(32, 4)
-    hb_, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    hb_, (hTb, cTb) = lstm_sequence(p, x, h0, c0, backend="pallas", fusion=fu)
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hb_), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTb), rtol=1e-5, atol=1e-6)
 
@@ -441,7 +471,7 @@ def test_fused_proj_inference_interleaved(monkeypatch):
         lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (16, None),
     )
     assert not pallas_lstm._use_interleave(16, 8)
-    hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas")
+    hc, (hTc, cTc) = lstm_sequence(p, x, h0, c0, backend="pallas", fusion=fu)
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hc), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cTa), np.asarray(cTc), rtol=1e-5, atol=1e-6)
 
@@ -454,9 +484,6 @@ def test_fused_scanned_donated_grad(monkeypatch):
     donation) for every rung."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
-    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
-    monkeypatch.setattr(pallas_lstm, "_FUSE_BWD_FULL", True)
     monkeypatch.setattr(
         pallas_lstm, "_pick_blocks",
         lambda B, T, H, nbytes, stream_bytes=24, min_sublane=8, prefer_bt1=False: (8, 2),
@@ -467,7 +494,8 @@ def test_fused_scanned_donated_grad(monkeypatch):
     def scanned(p, x):
         def body(carry, _):
             g = jax.grad(lambda q: jnp.mean(lstm_sequence(
-                q, x, backend="pallas", compute_dtype=jnp.bfloat16)[0] ** 2))(carry)
+                q, x, backend="pallas", compute_dtype=jnp.bfloat16,
+                fusion=(True, True, True))[0] ** 2))(carry)
             return jax.tree.map(lambda a, b: a - 1e-3 * b, carry, g), 0
         return jax.lax.scan(body, p, None, length=2)[0]
 

@@ -370,16 +370,12 @@ def test_shard_map_dp_composes_with_fused_kernels(monkeypatch):
     import optax
 
     from classifying_vae_lstm_tpu.models import cl_vrnn
-    from classifying_vae_lstm_tpu.ops import pallas_lstm
     from classifying_vae_lstm_tpu.parallel import make_shard_map_train_step, replicate
 
-    monkeypatch.setattr(pallas_lstm, "_FUSE_PROJ", True)
-    monkeypatch.setattr(pallas_lstm, "_FUSE_DRK", True)
-    monkeypatch.setattr(pallas_lstm, "_FUSE_BWD_FULL", True)
-
+    # fusion is plumbed per-config (Config.fusion static triple), not globals
     cfg = cl_vrnn.Config(original_dim=12, intermediate_dim=16, latent_dim=2,
                          seq_length=4, n_classes=3, use_x_prev=True,
-                         lstm_backend="pallas")
+                         lstm_backend="pallas", fusion=(True, True, True))
     params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
     n = 32
     x = (jax.random.uniform(jax.random.PRNGKey(1), (n, 4, 12)) < 0.2).astype(jnp.float32)

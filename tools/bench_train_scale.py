@@ -27,7 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def bench_step(backend: str, batch: int, hid: int, seq: int = 16, n_steps: int = 20):
+def bench_step(backend: str, batch: int, hid: int, seq: int = 16, n_steps: int = 20,
+               fusion=None):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +39,8 @@ def bench_step(backend: str, batch: int, hid: int, seq: int = 16, n_steps: int =
     D, L, K = 88, 2, 10
     cfg = cl_vrnn.Config(original_dim=D, intermediate_dim=hid, latent_dim=L,
                          seq_length=seq, n_classes=K, use_x_prev=True,
-                         bf16_compute=True, lstm_backend=backend)
+                         bf16_compute=True, lstm_backend=backend,
+                         fusion=fusion if backend == 'pallas' else None)
     params = cl_vrnn.init(jax.random.PRNGKey(0), cfg)
     opt, _ = init_optimizer("adam-wn")
     loss_fn = functools.partial(

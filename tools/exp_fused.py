@@ -1,4 +1,4 @@
-"""A/B the experimental kernel fusions (set_fusion) on real TPU.
+"""A/B the experimental kernel fusions (static `fusion` triples) on real TPU.
 
 Three candidate train-step fusions (ops/pallas_lstm.py):
 * proj — input projection computed inside the training forward kernel
@@ -33,7 +33,8 @@ T = 16
 IN = 98
 
 
-def time_grad(B: int, H: int, k: int = 30, backend: str = "pallas") -> float:
+def time_grad(B: int, H: int, k: int = 30, backend: str = "pallas",
+              fusion=None) -> float:
     """Per-step seconds for the train fwd+bwd grad, dispatch-free
     (K chained steps inside one jitted lax.scan, best of 3)."""
     import jax
@@ -44,15 +45,17 @@ def time_grad(B: int, H: int, k: int = 30, backend: str = "pallas") -> float:
 
     params = init_lstm(jax.random.PRNGKey(0), IN, H)
     x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+    fusion = fusion if backend == "pallas" else None
 
     def many(p, x):
         def body(c, _):
             g = jax.grad(lambda q: jnp.mean(lstm_sequence(
-                q, x, backend=backend, compute_dtype=jnp.bfloat16)[0] ** 2))(c)
+                q, x, backend=backend, compute_dtype=jnp.bfloat16,
+                fusion=fusion)[0] ** 2))(c)
             return jax.tree.map(lambda a, b: a - 1e-3 * b, c, g), 0
         return jax.lax.scan(body, p, None, length=k)[0]
 
-    jitted = jax.jit(many)  # fresh wrapper: fusion flags bake in at trace
+    jitted = jax.jit(many)  # fusion is an explicit static arg — no globals
     p = jitted(params, x)
     jax.block_until_ready(p)
     best = float("inf")
@@ -64,7 +67,7 @@ def time_grad(B: int, H: int, k: int = 30, backend: str = "pallas") -> float:
     return best
 
 
-def check_numerics(B: int, H: int) -> float:
+def check_numerics(B: int, H: int, fusion=None) -> float:
     """Max relative grad deviation vs the XLA scan at this config (quick
     sanity alongside the timing; the full sweep lives in
     verify_kernels_tpu.py)."""
@@ -78,11 +81,12 @@ def check_numerics(B: int, H: int) -> float:
     p = init_lstm(jax.random.PRNGKey(0), IN, H)
     x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
 
-    def g(backend):
+    def g(backend, fu=None):
         return jax.jit(jax.grad(lambda q: jnp.mean(lstm_sequence(
-            q, x, backend=backend, compute_dtype=jnp.bfloat16)[0] ** 2)))(p)
+            q, x, backend=backend, compute_dtype=jnp.bfloat16,
+            fusion=fu)[0] ** 2)))(p)
 
-    ga, gb = g("xla"), g("pallas")
+    ga, gb = g("xla"), g("pallas", fusion)
     worst = 0.0
     for k in ga:
         a = np.asarray(ga[k], np.float32)
@@ -108,14 +112,14 @@ def main():
         for proj, drk, full in [(False, False, False), (True, False, False),
                                 (False, True, False), (True, True, False),
                                 (True, True, True)]:
-            pk.set_fusion(proj=proj, drk=drk, full=full)
+            fu = (proj, drk, full)
             row = {"config": f"B{B} H{H} bf16", "proj": proj, "drk": drk,
                    "full": full}
             try:
-                sec = time_grad(B, H)
+                sec = time_grad(B, H, fusion=fu)
                 row.update(fwdbwd_us=round(sec * 1e6, 1),
                            tflops=round(fl / sec / 1e12, 2),
-                           rel_grad_dev=round(check_numerics(B, H), 5))
+                           rel_grad_dev=round(check_numerics(B, H, fu), 5))
                 if not proj and not drk:
                     base = sec
                 elif base:
@@ -124,7 +128,6 @@ def main():
                 row["error"] = repr(e)[:300]
             print(json.dumps(row), flush=True)
             rows.append(row)
-        pk.set_fusion(proj=False, drk=False, full=False)
 
     # Inference forward (evaluate/serve path): proj fusion only.
     if "fwd" in phases:
@@ -137,12 +140,13 @@ def main():
             params = init_lstm(jax.random.PRNGKey(0), IN, H)
             x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
             for proj in [False, True]:
-                pk.set_fusion(proj=proj, drk=False)
+                fu = (proj, False, False)
 
                 def many(p, x, k=30):
                     def body(c, _):
                         h, _ = lstm_sequence(p, x, backend="pallas",
-                                             compute_dtype=jnp.bfloat16)
+                                             compute_dtype=jnp.bfloat16,
+                                             fusion=fu)
                         # chain via the bias so steps cannot dedup
                         c = dict(c, bias=c["bias"] + 1e-6 * h.mean())
                         return c, 0
@@ -161,7 +165,6 @@ def main():
                        "proj": proj, "fwd_us": round(best * 1e6, 1)}
                 print(json.dumps(row), flush=True)
                 rows.append(row)
-            pk.set_fusion(proj=False, drk=False, full=False)
 
     # Full cl_vrnn optimizer step (the adoption metric — the fusions also
     # change what XLA schedules OUTSIDE the kernels), scanned-epoch regime
@@ -173,16 +176,15 @@ def main():
         for B, H in [(1024, 1024), (1024, 512)]:
             for proj, drk, full in [(False, False, False), (True, True, False),
                                     (True, True, True)]:
-                pk.set_fusion(proj=proj, drk=drk, full=full)
                 row = {"phase": "fullstep", "proj": proj, "drk": drk,
                        "full": full}
                 try:
-                    row.update(bench_step("pallas", B, H))
+                    row.update(bench_step("pallas", B, H,
+                                          fusion=(proj, drk, full)))
                 except Exception as e:
                     row["error"] = repr(e)[:300]
                 print(json.dumps(row), flush=True)
                 rows.append(row)
-            pk.set_fusion(proj=False, drk=False, full=False)
 
     # Exploratory: does the pallas train path win at H1536 bf16 now that the
     # scoped-VMEM limit is 96 MB? rk_fits_vmem still caps shipping at H1024
@@ -202,14 +204,14 @@ def main():
         try:
             fl = 3 * 2 * B * T * (IN + H) * 4 * H
             for fused in [False, True]:
-                pk.set_fusion(proj=fused, drk=fused, full=fused)
+                fu = (fused, fused, fused)
                 row = {"phase": "h1536", "config": f"B{B} H{H} bf16",
                        "backend": "pallas", "fused": fused}
                 try:
-                    sec = time_grad(B, H)
+                    sec = time_grad(B, H, fusion=fu)
                     row.update(fwdbwd_us=round(sec * 1e6, 1),
                                tflops=round(fl / sec / 1e12, 2),
-                               rel_grad_dev=round(check_numerics(B, H), 5))
+                               rel_grad_dev=round(check_numerics(B, H, fu), 5))
                 except Exception as e:
                     row["error"] = repr(e)[:300]
                 print(json.dumps(row), flush=True)
@@ -217,7 +219,6 @@ def main():
         finally:
             pk.rk_fits_vmem = orig_gate
             pk.set_vmem_budget(block_budget=prev_budget[0])
-            pk.set_fusion(proj=False, drk=False, full=False)
         # XLA reference at the same shape, same protocol
         try:
             sec = time_grad(B, H, backend="xla")

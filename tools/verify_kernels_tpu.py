@@ -111,11 +111,10 @@ def main():
         except Exception as e:
             check(name, False, repr(e)[:200])
 
-    # --- experimental train-step fusions (set_fusion): fused-projection
-    # forward + fused-drk backward, together, at the flagship shape and an
-    # UNALIGNED batch (exercises the padded-row mask guarding the in-kernel
-    # drk reduction). Grad-vs-XLA like the rows above.
-    from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
+    # --- experimental train-step fusions (static `fusion` triple):
+    # fused-projection forward + fused-drk backward, together, at the
+    # flagship shape and an UNALIGNED batch (exercises the padded-row mask
+    # guarding the in-kernel drk reduction). Grad-vs-XLA like the rows above.
 
     # every adoption candidate exp_fused.py times gets a hardware-numerics
     # row: proj-only, drk-only, proj+drk, and proj+drk+full
@@ -130,17 +129,18 @@ def main():
         tag = "+".join(n for n, on in
                        [("proj", proj), ("drk", drk), ("full", full)] if on)
         name = f"lstm fused {tag} B{B} H{H} bf16"
-        prev = pk.set_fusion(proj=proj, drk=drk, full=full)
         try:
             p = init_lstm(jax.random.PRNGKey(0), IN, H)
             x = jax.random.normal(jax.random.PRNGKey(1), (B, 16, IN))
 
-            def gfn(p, backend):
+            def gfn(p, backend, fusion=None):
                 return jax.grad(lambda q: jnp.mean(lstm_sequence(
-                    q, x, backend=backend, compute_dtype=jnp.bfloat16)[0] ** 2))(p)
+                    q, x, backend=backend, compute_dtype=jnp.bfloat16,
+                    fusion=fusion)[0] ** 2))(p)
 
             ga = jax.jit(functools.partial(gfn, backend="xla"))(p)
-            gb = jax.jit(functools.partial(gfn, backend="pallas"))(p)
+            gb = jax.jit(functools.partial(gfn, backend="pallas",
+                                           fusion=(proj, drk, full)))(p)
             ok = all(
                 np.allclose(np.asarray(ga[k], np.float32), np.asarray(gb[k], np.float32),
                             rtol=0.08, atol=0.08 * float(np.abs(np.asarray(ga[k])).max() + 1e-6))
@@ -148,8 +148,6 @@ def main():
             check(name, ok)
         except Exception as e:
             check(name, False, repr(e)[:200])
-        finally:
-            pk.set_fusion(*prev)
 
     # --- fused generation: precision ladder + unaligned batch. The None
     # rows exercise pick_mode's auto selection; the explicit-mode rows pin
