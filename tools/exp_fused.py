@@ -231,7 +231,15 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
 
-    with open(os.path.join(REPO, "artifacts", "fused_kernel_exp.json"), "w") as f:
+    # merge with prior runs: re-running one phase (e.g. `exp_fused.py h1536`)
+    # must not clobber the others' committed rows
+    out_path = os.path.join(REPO, "artifacts", "fused_kernel_exp.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f)
+        kept = [r for r in old if r.get("phase", "grad") not in phases]
+        rows = kept + rows
+    with open(out_path, "w") as f:
         json.dump(rows, f, indent=1)
     print("wrote artifacts/fused_kernel_exp.json", flush=True)
 
