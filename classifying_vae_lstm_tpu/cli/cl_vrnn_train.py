@@ -51,8 +51,11 @@ def train(args):
         # reloads with the numerics it trained with
         args.lstm_backend = cfg.lstm_backend
         args.bf16_compute = cfg.bf16_compute
+        if cfg.fusion is not None:
+            args.fusion = list(cfg.fusion)  # pin the kernel-fusion triple
         print(f"lstm_backend=auto -> {cfg.lstm_backend}"
-              + (" (bf16 operands)" if cfg.bf16_compute else ""))
+              + (" (bf16 operands)" if cfg.bf16_compute else "")
+              + (f" fusion={cfg.fusion}" if cfg.fusion is not None else ""))
     key = jax.random.PRNGKey(args.seed)
     key, k_init, k_fit = jax.random.split(key, 3)
     params = cl_vrnn.init(k_init, cfg)

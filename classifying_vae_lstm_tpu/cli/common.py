@@ -144,7 +144,13 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
     3.1x (45% MFU vs 14%, `artifacts/train_scale_bench.json`; pallas won
     every hidden>=512 config probed incl. batch 200 — the backward is a
     second Pallas kernel, see ops/pallas_lstm.py); at the reference's 88-wide
-    sizes XLA's pipelined scan wins and is kept.
+    sizes XLA's pipelined scan wins and is kept. The upper bound is
+    rk_fits_vmem's measured ceiling — H1536 bf16 runs the fused kernels at
+    140.9 TFLOP/s, 3.56x the XLA scan at the same shape
+    (`artifacts/fused_kernel_exp.json`, h1536 phase); above it (H2048+,
+    unprobed) the XLA scan is used. When pallas is picked the kernel-fusion
+    triple is pinned to the adopted policy defaults
+    (ops/pallas_lstm.resolve_fusion) so args.json records what ran.
     """
     import dataclasses
 
@@ -162,7 +168,11 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
             and jax.default_backend() == "tpu"
         )
         if use_pallas:
-            return dataclasses.replace(cfg, lstm_backend="pallas", bf16_compute=True)
+            from ..ops.pallas_lstm import resolve_fusion
+
+            return dataclasses.replace(
+                cfg, lstm_backend="pallas", bf16_compute=True,
+                fusion=cfg.fusion or resolve_fusion(None))
         return dataclasses.replace(cfg, lstm_backend="xla")
     return dataclasses.replace(cfg, lstm_backend=choice)
 

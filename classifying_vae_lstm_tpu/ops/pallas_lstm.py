@@ -82,8 +82,11 @@ _VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 _BLOCK_BUDGET_BYTES = 28 * 1024 * 1024
 _MAX_BLOCK_B = 256
 
-# Experimental train-step fusions (opt-in via set_fusion until measured on
-# hardware — tools/exp_fused.py A/Bs them under the scanned-epoch protocol):
+# Train-step fusions (ADOPTED as defaults — tools/exp_fused.py A/B'd all
+# rungs on TPU v5e under the scanned-epoch protocol,
+# artifacts/fused_kernel_exp.json: the full triple wins the chained grad
+# step 1.199x at H1024/B1024, 1.289x at H512/B1024, 1.023x at B200/H512,
+# and the full optimizer step 1.21x at H512/B1024; no config lost):
 # * _FUSE_PROJ: the training forward computes the input projection x @ W + b
 #   INSIDE the kernel (one [bt*bb, INp] @ [INp, 4H] MXU matmul per grid step,
 #   hoisted out of the serial recurrence) instead of reading a precomputed
@@ -100,9 +103,9 @@ _MAX_BLOCK_B = 256
 #   remaining consumers — so the [T, B, 4H] dz stream never leaves the
 #   kernel at all (replaced by the 32x-smaller dx stream) and the external
 #   projection-backward matmul passes disappear.
-_FUSE_PROJ = False
-_FUSE_DRK = False
-_FUSE_BWD_FULL = False
+_FUSE_PROJ = True
+_FUSE_DRK = True
+_FUSE_BWD_FULL = True
 
 
 def set_fusion(proj: bool | None = None, drk: bool | None = None,
@@ -173,12 +176,15 @@ def _interpret() -> bool:
 
 
 def rk_fits_vmem(hidden_dim: int, bf16: bool = True) -> bool:
-    """The kernels keep the recurrent weight resident in VMEM; beyond
-    ~hidden 1024 bf16 (8 MB of the ~14 MB budget) no block configuration
-    exists and the XLA scan must be used. Callers (resolve_lstm_backend
-    'auto') gate on this instead of discovering it as a Mosaic OOM."""
+    """The kernels keep the recurrent weight resident in VMEM. Callers
+    (resolve_lstm_backend 'auto') gate on this instead of discovering the
+    ceiling as a Mosaic OOM. Measured upper bound: H1536 bf16 (rk 18.9 MB)
+    runs the fused train step at 140.9 TFLOP/s, 3.56x the XLA scan
+    (artifacts/fused_kernel_exp.json, h1536 phase) — _pick_blocks grants
+    rk_cost + 20 MB of budget so a block config exists up there. H2048
+    bf16 (rk 33.5 MB) is unprobed; the gate stays below it until measured."""
     bytes_per = 2 if bf16 else 4
-    return hidden_dim * 4 * hidden_dim * bytes_per <= 9 * 1024 * 1024
+    return hidden_dim * 4 * hidden_dim * bytes_per <= 19 * 1024 * 1024
 
 
 def _lstm_seq_kernel(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, c_scr):
@@ -445,8 +451,13 @@ def _pick_blocks(B: int, T: int, H: int, rk_bytes_per_el: int,
     aligned candidate always exists down to bb=min_sublane; B itself — a
     full-dim block — is the only sub-aligned shape Mosaic accepts).
     """
-    budget = _BLOCK_BUDGET_BYTES
     rk_cost = H * 4 * H * rk_bytes_per_el
+    # The swept 28 MB optimum (artifacts/vmem_budget_sweep.json) decomposes
+    # as rk (8 MB at the swept H1024 bf16) + ~20 MB of streamed blocks;
+    # beyond H1024 keep the 20 MB stream allowance on top of the resident
+    # weight instead of starving the streams (the h1536 probe measured
+    # 140.9 TFLOP/s under exactly this budget — fused_kernel_exp.json).
+    budget = max(_BLOCK_BUDGET_BYTES, rk_cost + 20 * 1024 * 1024)
     scratch = lambda bb: 4 * 2 * bb * H
     # time blocks must DIVIDE T: in the backward kernel the reversed grid
     # processes the last time block first, so a padded time tail would feed

@@ -375,14 +375,15 @@ def test_fused_both_bf16_close_to_f32(monkeypatch):
 def test_set_fusion_roundtrip():
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
-    prev = pallas_lstm.set_fusion(proj=True, drk=True, full=True)
-    assert prev == (False, False, False)
+    # adopted defaults: the full triple won every fused_kernel_exp.json config
+    prev = pallas_lstm.set_fusion(proj=False, drk=False, full=False)
+    assert prev == (True, True, True)
     # the globals are only the fusion=None policy defaults
-    assert pallas_lstm.resolve_fusion(None) == (True, True, True)
-    assert pallas_lstm.set_fusion(*prev) == (True, True, True)
-    assert (pallas_lstm._FUSE_PROJ, pallas_lstm._FUSE_DRK,
-            pallas_lstm._FUSE_BWD_FULL) == (False, False, False)
     assert pallas_lstm.resolve_fusion(None) == (False, False, False)
+    assert pallas_lstm.set_fusion(*prev) == (False, False, False)
+    assert (pallas_lstm._FUSE_PROJ, pallas_lstm._FUSE_DRK,
+            pallas_lstm._FUSE_BWD_FULL) == (True, True, True)
+    assert pallas_lstm.resolve_fusion(None) == (True, True, True)
     # canonicalization: full implies drk; full without proj is dropped (it
     # only exists on the fused-projection path)
     assert pallas_lstm.resolve_fusion((True, False, True)) == (True, True, True)

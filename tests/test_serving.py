@@ -343,8 +343,10 @@ def test_engine_dp_mesh_generation():
 
 
 def test_auto_backend_upper_bound():
-    """'auto' never selects pallas beyond the VMEM-resident weight limit
-    (hidden > 1024 bf16 would be a Mosaic OOM, not a speedup)."""
+    """'auto' never selects pallas beyond the VMEM-resident weight limit.
+    The measured ceiling includes H1536 bf16 (fused kernels 3.56x the XLA
+    scan there — artifacts/fused_kernel_exp.json h1536 phase) but not the
+    unprobed H2048 (rk 33.5 MB would be a Mosaic OOM risk, not a speedup)."""
     import jax as _jax
 
     from classifying_vae_lstm_tpu.cli.common import resolve_lstm_backend
@@ -352,7 +354,9 @@ def test_auto_backend_upper_bound():
     from classifying_vae_lstm_tpu.ops.pallas_lstm import rk_fits_vmem
 
     assert rk_fits_vmem(1024, bf16=True)
-    assert not rk_fits_vmem(1536, bf16=True)
+    assert rk_fits_vmem(1536, bf16=True)
+    assert not rk_fits_vmem(1536, bf16=False)  # f32 rk is 2x: still gated
+    assert not rk_fits_vmem(2048, bf16=True)
     big = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=2048), "auto")
     assert big.lstm_backend == "xla"  # even on TPU this must hold; CPU too
 
