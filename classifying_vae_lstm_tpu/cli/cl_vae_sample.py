@@ -46,6 +46,8 @@ def sample(args):
     model_file = args.model_file or os.path.join(args.model_dir, args.run_name + ".npz")
     params, cfg, margs = common.load_model(model_file, "cl_vae", no_x_prev=args.no_x_prev)
     cfg = common.resolve_gen_backend(cfg, args.gen_backend)
+    if args.gen_backend == "auto":
+        print(f"gen_backend=auto -> {cfg.gen_backend}")
     P = PianoData(args.train_file, batch_size=1, seq_length=args.t, squeeze_x=True)
     os.makedirs(args.sample_dir, exist_ok=True)
     k_seed, k_gen = jax.random.split(jax.random.PRNGKey(args.seed))
@@ -85,11 +87,13 @@ def build_parser():
     parser.add_argument("--seed_midi", type=str, default=None,
                         help="seed generation from the last frame of this .mid file "
                              "(extension; any SMF)")
-    parser.add_argument("--gen_backend", type=str, default="keep",
+    parser.add_argument("--gen_backend", type=str, default="auto",
                         choices=["auto", "keep", "xla", "pallas"],
                         help="generation backend (extension): 'pallas' = fused "
-                             "whole-generation kernel; 'auto' = pallas on TPU "
-                             "when the model fits VMEM")
+                             "whole-generation kernel; 'auto' (default) = pallas "
+                             "on TPU at hidden>=512 when the model fits VMEM "
+                             "(1.3-5.8x measured, artifacts/generate_bench.json); "
+                             "'keep' = checkpoint setting")
     return parser
 
 

@@ -182,10 +182,15 @@ def resolve_gen_backend(cfg, choice: str = "auto"):
 
     'keep' leaves the checkpoint's setting; 'auto' picks the fused
     whole-generation Pallas kernel (:mod:`..ops.pallas_generate_vae`) on TPU
-    whenever the model has hidden layers and fits VMEM — generation is the
-    one cl_vae path with a serial loop XLA can't pin weights across, the
-    same traffic argument as the cl_vrnn fused sampler. The f32 kernel is
-    frame-exact vs the XLA scan, so 'auto' never changes sampled output.
+    at hidden>=512 when the weights fit VMEM — generation is the one cl_vae
+    path with a serial loop XLA can't pin weights across, the same traffic
+    argument as the cl_vrnn fused sampler. Measured on TPU v5e
+    (`artifacts/generate_bench.json`, vae rows): 1.34x at H512 f32, 1.7x at
+    H1024 bf16 (2.8x int8), 5.8x at the D976/H5120 seq-concat scale; at the
+    reference's 88-wide layers it is a wash-to-loss (1.03x at D88, 0.88x at
+    D976) against XLA's fully-fused dense step, so 'auto' keeps XLA there.
+    The f32 kernel is frame-exact vs the XLA scan, so 'auto' never changes
+    sampled output below the bf16/int8 VMEM-escalation sizes.
     """
     import dataclasses
 
@@ -196,7 +201,8 @@ def resolve_gen_backend(cfg, choice: str = "auto"):
     if choice == "auto":
         from ..ops.pallas_generate_vae import fits
 
-        if fits(cfg) and jax.default_backend() == "tpu":
+        if (cfg.intermediate_dim >= 512 and fits(cfg)
+                and jax.default_backend() == "tpu"):
             return dataclasses.replace(cfg, gen_backend="pallas")
         return dataclasses.replace(cfg, gen_backend="xla")
     return dataclasses.replace(cfg, gen_backend=choice)

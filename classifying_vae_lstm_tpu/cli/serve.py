@@ -43,9 +43,13 @@ def build_engine(args) -> tuple[GenerationEngine, dict]:
         # fused kernel + bf16 wins 1.2-1.4x (pallas_scale_bench.json)
         cfg = common.resolve_lstm_backend(cfg, getattr(args, "lstm_backend", "auto"))
     else:
-        # cl_vae generation backend (fused whole-generation kernel); default
-        # 'keep' until the win regime is measured on hardware
-        cfg = common.resolve_gen_backend(cfg, getattr(args, "gen_backend", "keep"))
+        # cl_vae generation backend: 'auto' = the fused whole-generation
+        # kernel at hidden>=512 on TPU (1.3-5.8x measured,
+        # artifacts/generate_bench.json); XLA at reference sizes
+        choice = getattr(args, "gen_backend", "auto")
+        cfg = common.resolve_gen_backend(cfg, choice)
+        if choice == "auto":
+            print(f"gen_backend=auto -> {cfg.gen_backend}")
     squeeze = family == "cl_vae"
     P = PianoData(args.train_file, batch_size=1, seq_length=args.seed_len, squeeze_x=squeeze)
     seeds = P.x_test[:, 0] if family == "cl_vae" and P.x_test.ndim == 3 else P.x_test
@@ -93,7 +97,16 @@ def make_handler(engine: GenerationEngine, key_map: dict, is_jsb: bool):
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
-                self._send(200, {**engine.stats, **engine.latency_stats()})
+                # resolved backend decisions surface here the way the train
+                # path records them in args.json
+                resolved = {"family": engine.family,
+                            "fused_gen": bool(engine._use_fused_gen)}
+                if engine.family == "cl_vae":
+                    resolved["gen_backend"] = engine.cfg.gen_backend
+                else:
+                    resolved["lstm_backend"] = engine.cfg.lstm_backend
+                self._send(200, {**engine.stats, **engine.latency_stats(),
+                                 **resolved})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -182,11 +195,12 @@ def build_parser():
     parser.add_argument("--lstm_backend", type=str, default="auto",
                         choices=["auto", "keep", "xla", "pallas"],
                         help="'auto' = Pallas fused kernel + bf16 at hidden>=512 on TPU")
-    parser.add_argument("--gen_backend", type=str, default="keep",
+    parser.add_argument("--gen_backend", type=str, default="auto",
                         choices=["auto", "keep", "xla", "pallas"],
                         help="cl_vae generation backend (extension): 'pallas' = "
-                             "fused whole-generation kernel; 'auto' = pallas on "
-                             "TPU when the model fits VMEM")
+                             "fused whole-generation kernel; 'auto' (default) = "
+                             "pallas on TPU at hidden>=512 when the model fits "
+                             "VMEM (1.3-5.8x, artifacts/generate_bench.json)")
     parser.add_argument("--dp", type=int, default=1,
                         help="shard generation over N devices "
                              "(data axis, both families; extension)")

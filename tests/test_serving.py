@@ -361,6 +361,56 @@ def test_auto_backend_upper_bound():
     assert big.lstm_backend == "xla"  # even on TPU this must hold; CPU too
 
 
+def test_gen_backend_auto_size_gate(monkeypatch):
+    """cl_vae gen_backend 'auto' is size-gated by the measured win region
+    (artifacts/generate_bench.json vae rows): pallas at hidden>=512 on TPU,
+    XLA at the reference's 88-wide layers (wash-to-loss there) and off-TPU."""
+    from unittest import mock
+
+    from classifying_vae_lstm_tpu.cli.common import resolve_gen_backend
+    from classifying_vae_lstm_tpu.models import cl_vae
+
+    ref = cl_vae.Config(intermediate_dim=88)
+    big = cl_vae.Config(intermediate_dim=512)
+    # off-TPU: always xla
+    assert resolve_gen_backend(ref, "auto").gen_backend == "xla"
+    assert resolve_gen_backend(big, "auto").gen_backend == "xla"
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert resolve_gen_backend(ref, "auto").gen_backend == "xla"
+        assert resolve_gen_backend(big, "auto").gen_backend == "pallas"
+    # keep and explicit choices are untouched by the gate
+    assert resolve_gen_backend(ref, "keep").gen_backend == "xla"
+    assert resolve_gen_backend(ref, "pallas").gen_backend == "pallas"
+
+
+def test_engine_fused_vae_generation_path(monkeypatch):
+    """Engine with an auto-resolved pallas cl_vae config routes through the
+    fused whole-generation kernel (interpret mode via the test hook) and
+    returns valid rolls; /stats-surfaced fields reflect the decision."""
+    from unittest import mock
+
+    import numpy as np
+
+    from classifying_vae_lstm_tpu.cli.common import resolve_gen_backend
+    from classifying_vae_lstm_tpu.models import cl_vae
+    from classifying_vae_lstm_tpu.ops import pallas_generate_vae
+    from classifying_vae_lstm_tpu.serving.engine import GenerationEngine
+
+    monkeypatch.setattr(pallas_generate_vae, "FORCE_OFF_TPU", True)
+    cfg = cl_vae.Config(original_dim=12, intermediate_dim=512, latent_dim=2,
+                        n_classes=3, use_x_prev=True)
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        cfg = resolve_gen_backend(cfg, "auto")
+    assert cfg.gen_backend == "pallas"
+    params = cl_vae.init(jax.random.PRNGKey(0), cfg)
+    bank = (np.random.RandomState(0).rand(5, 12) < 0.2).astype(np.float32)
+    eng = GenerationEngine(params, cfg, bank, key=jax.random.PRNGKey(7))
+    assert eng._use_fused_gen
+    out = eng.generate(n=2, nsteps=8)
+    assert out.shape == (2, 8, 12)
+    assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
 def test_explicit_pallas_oversized_hidden_raises():
     import pytest as _pytest
 
