@@ -1483,12 +1483,19 @@ def _core_fp_bwd(drk, full, res, grads):
     wt = rk.dtype
     prec = "highest" if wt == jnp.float32 else None
     if full and B % _full_bwd_block_b(T, B, H, INp, z_seq.dtype) == 0:
-        # the fully-fused backward is gated to exactly-dividing batch blocks:
-        # at padded grids (B % bb != 0) the kernel faults the TPU worker on
-        # hardware (verify_kernels_tpu round-3 run, B500 H512 bf16) even
-        # though the drk rung with the same padded grid is clean and the
-        # masked numerics pass CPU interpret — padded batches fall back to
-        # the drk rung + external projection backward (identical math)
+        # the fully-fused backward is gated to exactly-dividing batch
+        # blocks: at padded grids (B % bb != 0) the kernel crashes the TPU
+        # worker (B500 H512 bf16; first seen round 3, commit dc31119,
+        # re-confirmed round 4 when a lift attempt crashed the verify
+        # sweep). The minimal-repro ladder (tools/repro_full_bwd_fault.py,
+        # artifacts/full_bwd_fault_repro.json) localizes it: the IDENTICAL
+        # kernel at the identical padded shape is CLEAN when the pallas_call
+        # is invoked directly, and crashes only through jit-of-grad — i.e.
+        # the trigger is the operand layouts/tilings the surrounding XLA
+        # program assigns to the custom call, not the kernel body (whose
+        # masked numerics pass CPU interpret and whose drk subset runs the
+        # same padded grid cleanly). Padded batches fall back to the drk
+        # rung + external projection backward (identical math).
         dx, dh0, dc0, drk_g, dw, db = _backward_call_full(
             z_seq, cp_seq, c_seq, hp_seq, x_t,
             dh_seq, dc_seq, rk.T.astype(wt), w.T.astype(wt))

@@ -201,6 +201,7 @@ class GenerationEngine:
         self._batcher = (
             DynamicBatcher(self, window_ms=batch_window_ms) if dynamic_batching else None
         )
+        self._infer_ws_jit = self._make_infer_ws_jit()
 
     def _next_key(self):
         with self._lock:
@@ -218,15 +219,20 @@ class GenerationEngine:
         sb = step_buckets or self.STEP_BUCKETS
         pairs = sorted(((b, t) for b in bb for t in sb),
                        key=lambda p: -(p[0] * p[1]))
+
+        def _all():
+            for b, t in pairs:
+                self._generate_bucket(b, t)
+            # the infer_w request path (jitted, one entry per batch bucket)
+            for b in sorted(bb, reverse=True):
+                jax.block_until_ready(self._infer_ws(
+                    jnp.asarray(self.seed_bank[np.arange(b) % len(self.seed_bank)]), b))
+
         if background:
-            th = threading.Thread(
-                target=lambda: [self._generate_bucket(b, t) for b, t in pairs],
-                daemon=True,
-            )
+            th = threading.Thread(target=_all, daemon=True)
             th.start()
             return th
-        for b, t in pairs:
-            self._generate_bucket(b, t)
+        _all()
         return None
 
     def _mark_bucket(self, b: int, t: int) -> None:
@@ -266,14 +272,47 @@ class GenerationEngine:
                 self.params, self.cfg, seeds, t, self._next_key(), ws, self.mesh)
         return generate_cl_vrnn_batch(self.params, self.cfg, seeds, t, self._next_key(), ws)
 
-    def _infer_ws_cl_vae(self, seeds):
-        """Per-seed key simplex points, the deterministic mean-logit point the
-        sampler uses for ``w_val=None`` (``sample_w(..., add_noise=False)``,
-        reference cl_vae/model.py:24-27,55-58)."""
-        from ..nn.distributions import logistic_normal_from_eps
+    def _make_infer_ws_jit(self):
+        """One JITTED w-inference function per engine. This path MUST be
+        jitted and bucket-shaped: it runs in the request path (infer_w
+        requests, both families), and on a remote-TPU deployment an eager
+        version costs one per-op compile + tunnel round-trip per primitive —
+        measured as a ~76 s first-request stall in the round-4 serving bench
+        (artifacts/serving_latency.json, cl_vae@88 dyn row) before this fix."""
+        if self.family == "cl_vae":
+            from ..nn.distributions import logistic_normal_from_eps
 
-        w_mean, w_log_var = cl_vae.encode_w(self.params, seeds)
-        return logistic_normal_from_eps(w_mean, w_log_var, None, add_noise=False)
+            def f(params, seeds):
+                # deterministic mean-logit simplex point, the value the
+                # sampler uses for w_val=None (sample_w(..., add_noise=False),
+                # reference cl_vae/model.py:24-27,55-58)
+                w_mean, w_log_var = cl_vae.encode_w(params, seeds)
+                return logistic_normal_from_eps(w_mean, w_log_var, None,
+                                                add_noise=False)
+
+            return jax.jit(f)
+        cfg = self.cfg
+
+        def f(params, seeds, keys):
+            return jax.vmap(
+                lambda s, k: infer_w_cl_vrnn(params, cfg, s, k))(seeds, keys)
+
+        return jax.jit(f)
+
+    def _infer_ws(self, seeds, m: int):
+        """Infer per-seed w for the first ``m`` seeds, padded to a batch
+        bucket so warmup covers every request shape."""
+        b = _bucket(m, self.BATCH_BUCKETS)
+        pad = b - seeds.shape[0]
+        if pad:
+            seeds = jnp.concatenate(
+                [seeds, jnp.repeat(seeds[:1], pad, axis=0)], axis=0)
+        if self.family == "cl_vae":
+            ws = self._infer_ws_jit(self.params, seeds)
+        else:
+            ws = self._infer_ws_jit(self.params, seeds,
+                                    jax.random.split(self._next_key(), b))
+        return ws[:m]
 
     def _coerce_seed_rolls(self, rolls: np.ndarray) -> np.ndarray:
         """Fit user rolls to the seed-bank shape (front-pad/trim the time
@@ -330,13 +369,12 @@ class GenerationEngine:
                 jax.nn.one_hot(key_name_index, self.cfg.n_classes),
                 (m, self.cfg.n_classes))
         elif infer_w or user_seeds is not None:
-            if self.family == "cl_vae":
-                # cl_vae infers w per seed frame inside generate (w_val=None);
-                # the batcher needs it materialized (one coalesced ws array)
-                ws = self._infer_ws_cl_vae(seeds) if self._batcher is not None else None
-            else:
-                keys = jax.random.split(self._next_key(), m)
-                ws = jax.vmap(lambda s, k: infer_w_cl_vrnn(self.params, self.cfg, s, k))(seeds, keys)
+            # materialized for BOTH modes and BOTH families (the batcher
+            # needs one coalesced ws array; the solo path then shares the
+            # explicit-ws _run cache entry warmup compiled — for cl_vae the
+            # materialized value equals what the sampler computes for
+            # w_val=None, the deterministic mean-logit point)
+            ws = self._infer_ws(seeds, m)
         else:
             if self.seed_keys is None:
                 raise ValueError("true-key conditioning needs seed_keys")

@@ -395,10 +395,11 @@ def test_fused_bwd_full_matches_xla(monkeypatch):
     kernel (dz never leaves VMEM); every grad must match the XLA scan.
 
     Two routings, both asserted explicitly (the padded-grid full kernel
-    faults real TPUs — commit dc31119 — so _core_fp_bwd gates on exact
-    division): B=16 with bb=8 divides exactly and must take the FULL rung;
-    B=20 pads the last block and must take the drk fallback. Both must be
-    grad-exact vs XLA."""
+    crashes real TPUs through jit-of-grad — commit dc31119, re-confirmed
+    round 4; see _core_fp_bwd — so the gate routes on exact division):
+    B=16 with bb=8 divides exactly and must take the FULL rung; B=20 pads
+    the last block and must take the drk fallback. Both must be grad-exact
+    vs XLA."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
     monkeypatch.setattr(

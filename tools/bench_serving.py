@@ -56,7 +56,9 @@ def build_engine(family: str, hidden: int, dyn: bool):
         cfg = cl_vae.Config(
             original_dim=D, intermediate_dim=hidden, latent_dim=2,
             intermediate_class_dim=D, n_classes=K, use_x_prev=True,
-            gen_backend="pallas")
+            # mirror resolve_gen_backend's shipping 'auto' gate: the fused
+            # kernel wins at hidden>=512 only (generate_bench.json vae rows)
+            gen_backend="pallas" if hidden >= 512 else "xla")
         params = cl_vae.init(jax.random.PRNGKey(0), cfg)
         seed_bank = (rng.random((64, D)) < 0.1).astype(np.float32)
     seed_keys = np.arange(64) % K

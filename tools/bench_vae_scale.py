@@ -72,15 +72,30 @@ def bench_step(batch: int, hid: int, D: int = 976, Cw: int = 256, K: int = 13,
     data["y"] = data["x"]
     one = jnp.float32(1.0)
 
+    import numpy as np
+
+    def _sync(pp):
+        # host-fetch one leaf: the only sync this remote backend honors —
+        # jax.block_until_ready returned BEFORE execution here (round-4: the
+        # original run timed 36 us/step, 22x FASTER than the FLOP roofline
+        # and below the ~27 ms tunnel RTT, i.e. it timed dispatch only)
+        return float(np.asarray(jax.tree.leaves(pp)[0]).ravel()[0])
+
     p, o = params, opt_state
     p, o, _ = trainer.train_epoch(p, o, data, jax.random.PRNGKey(2), one, one, one)
-    jax.block_until_ready(p)
+    _sync(p)
     best = float("inf")
+    n_reps = 3
     for i in range(3):
+        # chain n_reps epochs through the params carry inside ONE timed
+        # region (dedup-proof: each call consumes the previous output) and
+        # sync once at the end via host fetch
         t0 = time.perf_counter()
-        p, o, _ = trainer.train_epoch(p, o, data, jax.random.PRNGKey(3 + i), one, one, one)
-        jax.block_until_ready(p)
-        best = min(best, (time.perf_counter() - t0) / n_steps)
+        for r in range(n_reps):
+            p, o, _ = trainer.train_epoch(
+                p, o, data, jax.random.PRNGKey(3 + n_reps * i + r), one, one, one)
+        _sync(p)
+        best = min(best, (time.perf_counter() - t0) / (n_reps * n_steps))
 
     dims = _layer_dims(D, Cw, K, hid, L, True)
     flops = 3 * 2 * batch * sum(i * o_ for i, o_ in dims)  # fwd + ~2x bwd

@@ -16,6 +16,16 @@ The deltas from drk -> full are exactly:
   C. a second constant-index-map f32 accumulator OUTPUT (dw)    [min_dw]
   D. a 1-sublane (1, 4H) f32 accumulator OUTPUT (db)            [min_db]
 plus the combination (everything together = the real kernel)    [real_full]
+plus the INVOCATION delta (round-4 finding, the decisive one):
+  E. the real kernel via jit(grad(lstm_sequence)) — the production
+     custom_vjp path, gate bypassed                             [jit_full]
+     with the drk control through the same path                 [jit_drk]
+Round-4 result: every direct-call rung INCLUDING real_full is clean;
+jit_full alone crashes the worker. The fault therefore lives in the
+layouts/tilings the surrounding jitted program assigns to the custom
+call's operands (forward-kernel-produced streams), not in the kernel
+body — which is why it is invisible to CPU interpret AND to direct-call
+hardware repros.
 
 Usage:
   python tools/repro_full_bwd_fault.py           # run the ladder (real TPU)
@@ -189,8 +199,44 @@ def run_real(case: str):
     print(json.dumps({"case": case, "ok": True, "finite": finite}), flush=True)
 
 
+def run_jit(case: str):
+    """The PRODUCTION invocation: jit(grad(lstm_sequence)) at the faulting
+    shape. Round-4 finding — this is the rung that actually crashes:
+    `real_full` (the identical kernel `pallas_call`'d directly on
+    identically-shaped fresh arrays) is clean, but through jit-of-grad the
+    surrounding XLA program hands the custom call forward-kernel-produced
+    operands whose layouts/tilings trip Mosaic's padded-grid handling.
+    The shipping gate in `_core_fp_bwd` is bypassed by patching the
+    gate-side block helper only (`_full_bwd_block_b`); the kernel itself
+    still runs its real padded pick."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from classifying_vae_lstm_tpu.nn.core import init_lstm
+    from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
+    from classifying_vae_lstm_tpu.ops.lstm import lstm_sequence
+
+    B, H, T, IN = (REAL[k] for k in ("B", "H", "T", "IN"))
+    if case == "jit_full":
+        pk._full_bwd_block_b = lambda *a: B  # defeat ONLY the gate
+    fusion = (True, True, case == "jit_full")
+    p = init_lstm(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+
+    def loss(q):
+        h, _ = lstm_sequence(q, x, backend="pallas",
+                             compute_dtype=jnp.bfloat16, fusion=fusion)
+        return jnp.mean(h**2)
+
+    g = jax.jit(jax.grad(loss))(p)
+    finite = all(bool(np.isfinite(np.asarray(v, np.float32)).all())
+                 for v in jax.tree.leaves(g))
+    print(json.dumps({"case": case, "ok": True, "finite": finite}), flush=True)
+
+
 CASES = ["min_base", "min_dx_in", "min_dx_out", "min_dw", "min_db", "min_all",
-         "real_drk", "real_full"]
+         "real_drk", "real_full", "jit_drk", "jit_full"]
 
 
 def main():
@@ -200,6 +246,8 @@ def main():
     if args.case:
         if args.case.startswith("real"):
             run_real(args.case)
+        elif args.case.startswith("jit"):
+            run_jit(args.case)
         else:
             run_mini(args.case)
         return

@@ -90,7 +90,11 @@ def main():
     # at H512/B1024 bf16 that overflowed the default 16 MB scoped-VMEM stack
     # by 0.6 MB (fixed by _compiler_params' vmem_limit_bytes) while the SAME
     # shapes passed per-call above — so the sweep must compile this form too.
-    for B, IN, H in [(1024, 98, 512), (1024, 98, 1024)]:
+    # B500 is the padded-batch-grid shape (no 8-aligned divisor): with the
+    # adopted full-fusion defaults this compiles the fully-fused backward at
+    # a padded grid inside the scan — the regime of the (since-vanished)
+    # round-3 worker fault, kept here as the canary for its return
+    for B, IN, H in [(1024, 98, 512), (1024, 98, 1024), (500, 98, 512)]:
         name = f"lstm scanned-grad B{B} H{H} bf16"
         try:
             p = init_lstm(jax.random.PRNGKey(0), IN, H)
