@@ -87,7 +87,10 @@ def _time_fn(fn, *args, n=20, **kwargs):
 def _lstm_flops_bytes(B, H, in_dim):
     """One LSTM (fwd+bwd) at bf16 streams: FLOPs counted for the recurrent
     matmuls + input projection + their backward; bytes for the HBM streams
-    the pallas path actually moves (xz/z/dz bf16, h/c f32 outputs)."""
+    of the UNFUSED pallas path (xz/z/dz bf16, h/c f32 outputs) — under the
+    adopted full fusion the kernels stream the narrow raw x/dx instead of
+    the 4H-wide xz/dz, so these bytes are a conservative upper bound (the
+    binding roof at these shapes is FLOPs/latency either way)."""
     fwd = B * T * (2 * in_dim * 4 * H + 2 * H * 4 * H)
     flops = 3 * fwd  # bwd ~ 2x fwd
     bt = B * T
@@ -231,8 +234,11 @@ def run_config(hid: int, batch: int):
             "pct_of_roof": round(100 * max(t_flop, t_bw) / secs, 1) if secs else None,
         }
 
+    from classifying_vae_lstm_tpu.ops.pallas_lstm import resolve_fusion
+
     out = {
         "config": f"cl_vrnn hidden {hid}, batch {batch}, seq {T}, bf16, pallas",
+        "fusion": list(resolve_fusion(None)),  # adopted defaults in effect
         "device_kind": kind,
         "peak_bf16_tflops": peak / 1e12,
         "hbm_bandwidth_gbs": bw / 1e9,
@@ -276,8 +282,9 @@ def run_config(hid: int, batch: int):
             "other_fwd_bwd": {
                 "seconds": round(t_grad - t_lstm, 6),
                 "share_of_step": round((t_grad - t_lstm) / t_fused, 3),
-                "what": "input projections, z/x heads, sampling, ELBO "
-                        "reductions, dz->weight-grad matmuls",
+                "what": "z/x heads, sampling, ELBO reductions (under full "
+                        "fusion the input projections and dz->weight-grad "
+                        "matmuls run inside the lstm kernels)",
             },
         },
         "dispatch_overhead_seconds_per_step": round(t_full - t_fused, 6),
