@@ -67,10 +67,16 @@ def dense(params, x, activation=None, dtype=None):
     kernel, bias = params["kernel"], params["bias"]
     if dtype is not None:
         x, kernel, bias = x.astype(dtype), kernel.astype(dtype), bias.astype(dtype)
-    # precision='highest' keeps f32 accumulation on TPU (default would drop the
-    # matmul inputs to bf16); these layers are <=176 wide, so the extra MXU
-    # passes are free and nats/frame parity with the reference is preserved.
-    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32, precision="highest") + bias.astype(
+    # f32 parity path: precision='highest' keeps f32 accumulation on TPU (the
+    # default would drop the matmul inputs to bf16); the reference layers are
+    # <=176 wide, so the extra MXU passes are free and nats/frame parity is
+    # preserved. bf16 compute path (dtype=bf16, the scaled --bf16_compute
+    # mode): precision must be None — 'highest' on bf16 operands forces the
+    # multi-pass emulation and runs at the f32 rate, silently defeating the
+    # cast (measured: the cl_vae scaled train step sat at ~40 TF, exactly
+    # the f32 matmul rate, artifacts/vae_scale_bench.json round-4 first run).
+    prec = "highest" if dtype is None else None
+    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32, precision=prec) + bias.astype(
         jnp.float32
     )
     if activation is not None:
