@@ -250,6 +250,11 @@ class GenerationEngine:
                       dtype=jnp.float32)
         self._mark_bucket(b, t)
         out = self._run(seeds, t, ws)
+        if self.family == "cl_vae" and self._batcher is None:
+            # the solo infer_w request path runs the SAME program with
+            # w_vals=None (w inferred in-graph) — a distinct jit entry that
+            # must be warm too, or the first infer_w request compiles
+            out = (out, self._run(seeds, t, None))
         return jax.block_until_ready(out)
 
     def _run(self, seeds, t, ws):
@@ -369,12 +374,18 @@ class GenerationEngine:
                 jax.nn.one_hot(key_name_index, self.cfg.n_classes),
                 (m, self.cfg.n_classes))
         elif infer_w or user_seeds is not None:
-            # materialized for BOTH modes and BOTH families (the batcher
-            # needs one coalesced ws array; the solo path then shares the
-            # explicit-ws _run cache entry warmup compiled — for cl_vae the
-            # materialized value equals what the sampler computes for
-            # w_val=None, the deterministic mean-logit point)
-            ws = self._infer_ws(seeds, m)
+            if self.family == "cl_vae" and self._batcher is None:
+                # solo path: the jitted generate program infers w itself
+                # (w_vals=None) — ONE device dispatch per request; warmup
+                # compiles this entry per bucket too
+                ws = None
+            else:
+                # the batcher needs one coalesced ws array (and cl_vrnn's
+                # sampler always takes w explicitly): jitted + batch-bucketed
+                # so warmup covers every request shape — for cl_vae the value
+                # equals what the sampler computes for w_val=None, the
+                # deterministic mean-logit point
+                ws = self._infer_ws(seeds, m)
         else:
             if self.seed_keys is None:
                 raise ValueError("true-key conditioning needs seed_keys")
