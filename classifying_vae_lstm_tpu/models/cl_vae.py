@@ -60,6 +60,11 @@ class Config:
     # generation-time backend: 'xla' (lax.scan sampler) or 'pallas' (fused
     # whole-generation kernel, ops/pallas_generate_vae.py). Training has no
     # backend knob — the cl_vae forward is plain dense matmuls XLA fuses.
+    # Measured at scale (artifacts/vae_scale_bench.json, v5e, bf16): the
+    # scanned optimizer step reaches ~30% of the FLOP roof at D976/H2048/
+    # B4096 — the gap is materialized-activation HBM traffic between XLA's
+    # fusion islands, i.e. known headroom for a VMEM-resident fused train
+    # kernel if this secondary family's training ever becomes the bottleneck.
     gen_backend: str = "xla"
 
     @property

@@ -10,6 +10,14 @@ measure the full optimizer step in the scanned-epoch regime and compare to
 the analytic FLOP and HBM rooflines. If XLA already sits at the binding
 roof, a hand-written kernel has nothing to win; if not, this is the to-do.
 
+Round-4 verdicts from the measured rows: (1) the original run exposed the
+sync bug documented at _sync below; (2) the re-run exposed dense()'s
+precision='highest' silently defeating bf16 operands (fixed in nn/core.py,
+1.42x); (3) post-fix the step reaches ~25-30% of the (optimistic,
+perfect-fusion) roof — the gap is materialized-activation HBM traffic
+between XLA fusion islands, recorded as known headroom for a fused train
+kernel rather than evidence XLA is at the roof.
+
 Protocol: CLAUDE.md kernel timing protocol — n_steps minibatches scanned
 into ONE device program (Trainer.train_epoch, the production regime),
 best-of-3 on the whole scan, quiet host.
