@@ -214,17 +214,39 @@ def bench_mfu(batch=1024, hid=1024):
     }
     batch_data["y"] = batch_data["x"]
     one = jnp.float32(1.0)
-    params, opt_state, m = trainer.train_step(params, opt_state, batch_data,
-                                              jax.random.PRNGKey(2), one, one, one)
-    jax.block_until_ready(m)  # compile
+    # scanned-epoch regime (how Trainer.train_epoch compiles the step):
+    # K steps fused into one device program, params/opt_state threaded
+    # through so no two calls see identical inputs, best-of-3 whole-scan
+    # reps (CLAUDE.md kernel timing protocol — per-dispatch loops measure
+    # host dispatch through the remote tunnel and drift rank-unstably)
+    import optax
+
+    step_grad = jax.value_and_grad(
+        lambda p, b, k: loss_fn(p, b, k, one, one, one), has_aux=True)
     n_steps = 20
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, m = trainer.train_step(params, opt_state, batch_data,
-                                                  jax.random.PRNGKey(3 + i), one, one, one)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_steps / dt
+
+    def fused_steps(p, s, b, keys):
+        def body(carry, k):
+            p, s = carry
+            (_, m), g = step_grad(p, b, k)
+            u, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, u), s), m
+        (p, s), ms = jax.lax.scan(body, (p, s), keys)
+        return p, s, jax.tree.map(jnp.mean, ms)
+
+    fused_jit = jax.jit(fused_steps, donate_argnums=(0, 1))
+    rep_keys = jax.random.split(jax.random.PRNGKey(11), 4 * n_steps).reshape(
+        4, n_steps, -1)
+    params, opt_state, m = fused_jit(params, opt_state, batch_data, rep_keys[0])
+    jax.block_until_ready(m)  # compile
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, m = fused_jit(params, opt_state, batch_data,
+                                         rep_keys[1 + r])
+        jax.block_until_ready(m)
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    steps_per_sec = 1.0 / best
     flops = _cl_vrnn_train_flops(batch, T, D, hid, L, K)
     achieved = flops * steps_per_sec
     kind = jax.devices()[0].device_kind
