@@ -15,10 +15,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Extras: the training headline is best-of-3 five-epoch reps with the per-rep
 rates and spread recorded (`train_steps_spread`); batched-generation
 notes/sec at TWO fixed definitions (`gen_notes_per_sec_reference_size` =
-32 songs x 64 steps, `gen_notes_per_sec_serving_scale` = 256 x 256 queued —
+32 songs x 64 steps, `gen_notes_per_sec_serving_scale` = 256 x 256 —
 `sampled_notes_per_sec` aliases the serving-scale number for r02 continuity);
 and a FLOP-bound scaled config with achieved TFLOP/s and MFU
 (`scaled_flop_bound`; Pallas fwd+bwd kernels).
+
+TIMING PROTOCOL (round 5, VERDICT r4 weak #2): every timed region is a
+DEVICE-side program — generation reps are `lax.scan`-chained inside ONE jit
+(each rep consumes the previous output, dedup-proof), training reps are the
+scanned epoch/step programs — and every region is closed by HOST-FETCHING a
+scalar from the result (`_sync`), the only completion sync this remote
+backend honors (`jax.block_until_ready` has returned before execution here;
+CLAUDE.md round-4 lesson). Host wall-clock therefore brackets device time to
+one tunnel round-trip per timed region, amortized over the scanned reps.
+The scaled MFU number carries a roofline guard: achieved > peak would mean
+the sync lied, and the row is re-measured / flagged instead of reported.
+bench_mfu's scanned protocol is THE canonical MFU instrument (the round-4
+38.8/48.6/50.7% three-instrument disagreement is retired: exp_fused fullstep
+rows timed per-dispatch chains, mfu_breakdown block_until_ready'd — both now
+defer to this number for the headline claim).
 """
 
 from __future__ import annotations
@@ -45,6 +60,20 @@ SEQ = 16
 DIM = 88
 HID = 88
 LAT = 2
+
+
+def _sync(x) -> float:
+    """Device-completion sync: host-fetch ONE scalar derived from ``x``.
+
+    The only sync this remote backend honors — ``jax.block_until_ready``
+    has returned BEFORE execution through the tunnel (measured 22x above
+    the FLOP roofline in round 4, tools/bench_vae_scale.py). Fetching a
+    scalar cannot complete until the producing program has."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(leaf.ravel()[0]))
 
 
 def _load_data(n_classes_out):
@@ -92,10 +121,11 @@ def bench_tpu():
     # epochs+val into one program for ~3% more throughput but ~5 min compile —
     # not worth it here; see train/loop.py.)
     params, opt_state, m = trainer.train_epoch(params, opt_state, train, jax.random.PRNGKey(1), one, one, one)
-    jax.block_until_ready(m)  # warmup/compile
+    _sync(m)  # warmup/compile (host-fetch: the only honored completion sync)
     # regression-grade headline: best-of-N reps with recorded spread, so a
     # 1-2% round-to-round drift is distinguishable from noise (VERDICT
-    # round 2, item 7 — the r01->r02 "drift" was within this band)
+    # round 2, item 7). Each rep chains n_epochs one-epoch device programs
+    # through the params/opt_state carry (dedup-proof) and host-fetches once.
     n_epochs, n_reps = 5, 3
     rep_rates = []
     for rep in range(n_reps):
@@ -104,7 +134,7 @@ def bench_tpu():
             params, opt_state, m = trainer.train_epoch(
                 params, opt_state, train, jax.random.PRNGKey(2 + rep * n_epochs + e),
                 one, one, one)
-        jax.block_until_ready(m)
+        _sync(m)
         rep_rates.append(n_epochs * steps_per_epoch / (time.perf_counter() - t0))
     steps_per_sec = max(rep_rates)
     train_spread = {
@@ -116,20 +146,39 @@ def bench_tpu():
 
     def _gen_rate(n_songs, n_steps, n_calls):
         """Best-of-3 batched-generation notes/sec at a fixed (songs, steps).
-        Queued calls pipeline the remote-dispatch latency; best-of-3 guards
-        against transient tunnel stalls."""
+
+        DEVICE-TIME protocol (round 5): the n_calls reps are `lax.scan`-
+        chained inside ONE jitted program — each rep generates from a fresh
+        key AND its seeds are xor-perturbed by the previous rep's output (a
+        true data dependency, so neither XLA nor the runtime can dedup or
+        overlap reps) — and the timed region closes with a host-fetched
+        scalar. Per-call host dispatch (the ~27 ms tunnel RTT that made this
+        metric swing 61.7M -> 100.1M -> 55.2M notes/s across rounds 2-4) is
+        out of the loop: one dispatch + one fetch per n_calls reps."""
         idx = np.arange(n_songs) % train["x"].shape[0]
-        seeds = train["x"][idx]
-        ws = train["w"][idx]
-        gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps, jax.random.PRNGKey(9), ws)
-        jax.block_until_ready(gen)
+        seeds = jnp.asarray(train["x"][idx])
+        ws = jnp.asarray(train["w"][idx])
+
+        def reps(seeds0, keys):
+            def body(carry, k):
+                out = generate_cl_vrnn_batch(params, cfg, carry, n_steps, k, ws)
+                # chain: feed a bit of rep i's output into rep i+1's seeds
+                # (same shapes; generation input is a binary roll, xor keeps it one)
+                nxt = jnp.logical_xor(seeds0 > 0.5, out[:, : seeds0.shape[1]] > 0.5
+                                      ).astype(seeds0.dtype)
+                return nxt, out[0, 0, 0]
+            last, outs = jax.lax.scan(body, seeds0, keys)
+            return last, outs
+
+        reps_jit = jax.jit(reps, static_argnums=())
+        keys = jax.random.split(jax.random.PRNGKey(9), n_calls)
+        _sync(reps_jit(seeds, keys))  # compile + warm
         gen_dt = float("inf")
         for rep in range(3):
+            k2 = jax.random.split(jax.random.PRNGKey(10 + rep), n_calls)
             t0 = time.perf_counter()
-            for i in range(n_calls):
-                gen = generate_cl_vrnn_batch(params, cfg, seeds, n_steps,
-                                             jax.random.PRNGKey(10 + i), ws)
-            jax.block_until_ready(gen)
+            out = reps_jit(seeds, k2)
+            _sync(out)
             gen_dt = min(gen_dt, (time.perf_counter() - t0) / n_calls)
         return n_songs * n_steps * DIM / gen_dt
 
@@ -235,24 +284,40 @@ def bench_mfu(batch=1024, hid=1024):
         return p, s, jax.tree.map(jnp.mean, ms)
 
     fused_jit = jax.jit(fused_steps, donate_argnums=(0, 1))
-    rep_keys = jax.random.split(jax.random.PRNGKey(11), 4 * n_steps).reshape(
-        4, n_steps, -1)
+    rep_keys = jax.random.split(jax.random.PRNGKey(11), 7 * n_steps).reshape(
+        7, n_steps, -1)
     params, opt_state, m = fused_jit(params, opt_state, batch_data, rep_keys[0])
-    jax.block_until_ready(m)  # compile
-    best = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        params, opt_state, m = fused_jit(params, opt_state, batch_data,
-                                         rep_keys[1 + r])
-        jax.block_until_ready(m)
-        best = min(best, (time.perf_counter() - t0) / n_steps)
-    steps_per_sec = 1.0 / best
+    _sync(m)  # compile (host-fetch: the only honored completion sync here)
     flops = _cl_vrnn_train_flops(batch, T, D, hid, L, K)
-    achieved = flops * steps_per_sec
     kind = jax.devices()[0].device_kind
     peak = _peak_flops(kind)
+
+    def _measure(rep_slice):
+        nonlocal params, opt_state
+        best = float("inf")
+        for r in rep_slice:
+            t0 = time.perf_counter()
+            params, opt_state, m = fused_jit(params, opt_state, batch_data,
+                                             rep_keys[r])
+            _sync(m)
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        return best
+
+    best = _measure(range(1, 4))
+    # ROOFLINE GUARD (round-5): a measurement above the chip's bf16 peak is
+    # wrong by definition — it means the sync did not cover execution. One
+    # re-measure; if still impossible, report the row as invalid rather than
+    # publish a fantasy MFU (CLAUDE.md round-4 lesson: 22x-over-roof reading).
+    guard_violated = False
+    if peak and flops / best > peak:
+        best = _measure(range(4, 7))
+        guard_violated = peak is not None and flops / best > peak
+    steps_per_sec = 1.0 / best
+    achieved = flops * steps_per_sec
     out = {
         "config": f"cl_vrnn hidden {hid}, batch {batch}, seq {T}, bf16_compute, pallas",
+        "protocol": "CANONICAL MFU: 20 optimizer steps scanned into one device "
+                     "program, params/opt carry chained, best-of-3, host-fetch sync",
         "steps_per_sec": round(steps_per_sec, 2),
         "model_tflops_per_step": round(flops / 1e12, 4),
         "achieved_tflops_per_sec": round(achieved / 1e12, 2),
@@ -260,7 +325,9 @@ def bench_mfu(batch=1024, hid=1024):
     }
     if peak:
         out["peak_bf16_tflops"] = peak / 1e12
-        out["mfu"] = round(achieved / peak, 4)
+        out["mfu"] = None if guard_violated else round(achieved / peak, 4)
+        if guard_violated:
+            out["error"] = "roofline violated twice: sync not covering execution"
     return out
 
 
@@ -453,7 +520,9 @@ def main():
         "gen_notes_per_sec_serving_scale": round(notes_serving, 1),  # 256x256
         "backend": backend,
         "final_epoch_loss": round(loss, 3),
-        "scaled_flop_bound": mfu,  # VERDICT weak #4: recorded MFU config
+        "scaled_flop_bound": mfu,  # the CANONICAL MFU instrument (round 5)
+        "timing_protocol": "device-time: scan-chained reps in one program, "
+                           "host-fetch-scalar completion sync (round 5)",
     }))
 
 

@@ -92,7 +92,10 @@ def build_parser():
                         help="generation backend (extension): 'pallas' = fused "
                              "whole-generation kernel; 'auto' (default) = pallas "
                              "on TPU at hidden>=512 when the model fits VMEM "
-                             "(1.3-5.8x measured, artifacts/generate_bench.json); "
+                             "(1.3-5.8x measured, artifacts/generate_bench.json; "
+                             "NOTE: at hidden sizes where f32 weights overflow "
+                             "VMEM, auto escalates to bf16/int8-resident kernels "
+                             "— fast but no longer bit-identical to 'xla'); "
                              "'keep' = checkpoint setting")
     return parser
 

@@ -77,7 +77,9 @@ def train(args):
         check_first_batch(loss_fn, params, first, jax.random.PRNGKey(0),
                           jnp.float32(1.0), jnp.float32(args.class_weight), jnp.float32(1.0))
         print("check_numerics: first batch loss/grads finite")
-    trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
+    mesh, noise_fn = common.make_dp_mesh(args, cfg, cl_vae.draw_apply_noise)
+    trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size,
+                      mesh=mesh, noise_fn=noise_fn)
     log_fn = common.make_log_fn(args) if args.do_log else None
     params, best_params, history, best_loss = fit(
         trainer,
@@ -151,6 +153,10 @@ def build_parser():
                         help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
     parser.add_argument("--vanilla", action="store_true",
                         help="vanilla VAE: drop the key latent (extension; BASELINE config 2)")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="train data-parallel over N devices (shard_map + gradient "
+                             "psum over the mesh); must divide --batch_size; bit-identical "
+                             "to single-device training (extension)")
     return parser
 
 

@@ -51,11 +51,19 @@ def train(args):
         # reloads with the numerics it trained with
         args.lstm_backend = cfg.lstm_backend
         args.bf16_compute = cfg.bf16_compute
-        if cfg.fusion is not None:
-            args.fusion = list(cfg.fusion)  # pin the kernel-fusion triple
         print(f"lstm_backend=auto -> {cfg.lstm_backend}"
               + (" (bf16 operands)" if cfg.bf16_compute else "")
               + (f" fusion={cfg.fusion}" if cfg.fusion is not None else ""))
+    if cfg.lstm_backend == "pallas" and cfg.fusion is None:
+        # explicit --lstm_backend pallas: pin the policy-default fusion triple
+        # too, so the checkpoint's numerics don't track future policy changes
+        import dataclasses
+
+        from ..ops.pallas_lstm import resolve_fusion
+
+        cfg = dataclasses.replace(cfg, fusion=resolve_fusion(None))
+    if cfg.fusion is not None:
+        args.fusion = list(cfg.fusion)  # args.json records the resolved triple
     key = jax.random.PRNGKey(args.seed)
     key, k_init, k_fit = jax.random.split(key, 3)
     params = cl_vrnn.init(k_init, cfg)
@@ -81,7 +89,9 @@ def train(args):
         check_first_batch(loss_fn, params, first, jax.random.PRNGKey(0),
                           jnp.float32(1.0), jnp.float32(args.class_weight), jnp.float32(1.0))
         print("check_numerics: first batch loss/grads finite")
-    trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size)
+    mesh, noise_fn = common.make_dp_mesh(args, cfg, cl_vrnn.draw_apply_noise)
+    trainer = Trainer(loss_fn, optimizer, batch_size=args.batch_size,
+                      mesh=mesh, noise_fn=noise_fn)
     params, best_params, history, _ = fit(
         trainer,
         params,
@@ -155,6 +165,10 @@ def build_parser():
                         help="host-stream training batches with device prefetch for corpora larger than HBM (extension)")
     parser.add_argument("--data_init", action="store_true",
                         help="real weight-norm data-dependent init (extension; the reference's was a no-op)")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="train data-parallel over N devices (shard_map + gradient "
+                             "psum over the mesh); must divide --batch_size; bit-identical "
+                             "to single-device training (extension)")
     return parser
 
 

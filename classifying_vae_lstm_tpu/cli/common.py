@@ -208,6 +208,35 @@ def resolve_gen_backend(cfg, choice: str = "auto"):
     return dataclasses.replace(cfg, gen_backend=choice)
 
 
+def make_dp_mesh(args, cfg, draw_apply_noise):
+    """``--dp N`` plumbing shared by both train CLIs (SURVEY §2 parallelism).
+
+    Returns ``(mesh, noise_fn)`` for :class:`..train.Trainer` — a 1-axis
+    ``('data',)``-major mesh of N devices and the model's global-batch noise
+    hook, which is what makes DP training bit-identical to single-device
+    (``models.*.draw_apply_noise``). Errors clearly on invalid combinations;
+    ``args.dp`` rides into args.json with the rest of the namespace.
+    """
+    dp = getattr(args, "dp", 0)
+    if not dp:
+        return None, None
+    import jax
+
+    n_dev = len(jax.devices())
+    if dp > n_dev:
+        raise ValueError(f"--dp {dp}: only {n_dev} devices available")
+    if args.batch_size % dp != 0:
+        raise ValueError(f"--dp {dp} must divide --batch_size {args.batch_size}")
+    if getattr(args, "streaming", False):
+        raise ValueError("--dp does not combine with --streaming (host-side batches)")
+    from ..parallel import make_mesh
+
+    mesh = make_mesh(n_data=dp, n_model=1)
+    noise_fn = lambda k: draw_apply_noise(k, cfg, args.batch_size)
+    print(f"data-parallel training over {dp} devices (shard_map + gradient psum)")
+    return mesh, noise_fn
+
+
 def make_log_fn(args):
     """--do_log sink: JSONL metrics + TensorBoard scalar events.
 

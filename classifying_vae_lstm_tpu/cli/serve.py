@@ -200,7 +200,10 @@ def build_parser():
                         help="cl_vae generation backend (extension): 'pallas' = "
                              "fused whole-generation kernel; 'auto' (default) = "
                              "pallas on TPU at hidden>=512 when the model fits "
-                             "VMEM (1.3-5.8x, artifacts/generate_bench.json)")
+                             "VMEM (1.3-5.8x, artifacts/generate_bench.json; at "
+                             "sizes where f32 weights overflow VMEM, auto "
+                             "escalates to bf16/int8-resident kernels — not "
+                             "bit-identical to 'xla')")
     parser.add_argument("--dp", type=int, default=1,
                         help="shard generation over N devices "
                              "(data axis, both families; extension)")

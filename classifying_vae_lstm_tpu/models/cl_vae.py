@@ -119,19 +119,47 @@ def decode(params, cfg: Config, w, z, x_prev=None, dtype=None):
     return dense(params["x_decoded_mean"], h, jax.nn.sigmoid, dtype=dtype)
 
 
-def apply(params, cfg: Config, x, key, x_prev=None):
+def draw_apply_noise(key, cfg: Config, batch_size: int) -> dict:
+    """Pre-draw :func:`apply`'s Gaussian noise, bit-identical to its internal draws.
+
+    Mirrors the split/shape/dtype sequence inside :func:`apply` exactly, so
+    ``apply(p, cfg, x, key)`` == ``apply(p, cfg, x, key, noise=draw_apply_noise(
+    key, cfg, B))``. This is the hook the data-parallel trainer uses: noise is
+    drawn once for the GLOBAL batch and sharded with it over the mesh, making
+    ``--dp`` training bit-identical to single-device (``train/loop.py``).
+    """
+    kw, kz = jax.random.split(key)
+    return {
+        "eps_w": jax.random.normal(kw, (batch_size, cfg.n_classes - 1)),
+        "eps_z": jax.random.normal(kz, (batch_size, cfg.latent_dim)),
+    }
+
+
+def apply(params, cfg: Config, x, key, x_prev=None, noise=None):
     """Full stochastic forward pass; returns every named tensor of the graph.
 
     Under ``cfg.bf16_compute`` the WIDE matmuls (hidden layers + frame head)
     take bf16 operands with f32 accumulation; the tiny distribution heads
     (w/z mean & log-var — they feed ``exp``) stay f32 like cl_vrnn's.
+
+    ``noise`` (optional): pre-drawn eps dict from :func:`draw_apply_noise`;
+    when given the pass is deterministic in it (``key`` is unused).
     """
+    from ..nn.distributions import logistic_normal_from_eps
+
     cd = jnp.bfloat16 if cfg.bf16_compute else None
-    kw, kz = jax.random.split(key)
+    if noise is None:
+        kw, kz = jax.random.split(key)
     w_mean, w_log_var = encode_w(params, x, dtype=cd)
-    w = sample_logistic_normal(kw, w_mean, w_log_var)
+    if noise is None:
+        w = sample_logistic_normal(kw, w_mean, w_log_var)
+    else:
+        w = logistic_normal_from_eps(w_mean, w_log_var, noise["eps_w"].astype(w_mean.dtype))
     z_mean, z_log_var = encode_z(params, cfg, x, w, dtype=cd)
-    z = sample_gaussian(kz, z_mean, z_log_var)
+    if noise is None:
+        z = sample_gaussian(kz, z_mean, z_log_var)
+    else:
+        z = z_mean + jnp.exp(z_log_var / 2) * noise["eps_z"].astype(z_mean.dtype)
     x_decoded_mean = decode(params, cfg, w, z, x_prev, dtype=cd)
     return {
         "x_decoded_mean": x_decoded_mean,
@@ -154,7 +182,8 @@ def loss_and_metrics(params, cfg: Config, batch, key, kl_weight=1.0, class_weigh
     (``cl_vae/model.py:216-219``, ``cl_vae/train.py:58-71``); each term is
     averaged over the batch before weighting, exactly like Keras.
     """
-    out = apply(params, cfg, batch["x"], key, batch.get("x_prev"))
+    noise = {"eps_w": batch["eps_w"], "eps_z": batch["eps_z"]} if "eps_w" in batch else None
+    out = apply(params, cfg, batch["x"], key, batch.get("x_prev"), noise=noise)
     vae = jnp.mean(L.vae_loss(batch["y"], out["x_decoded_mean"], cfg.original_dim))
     kl = jnp.mean(L.kl_loss(out["z_mean"], out["z_log_var"]))
     if cfg.n_classes > 1:

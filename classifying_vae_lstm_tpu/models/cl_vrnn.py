@@ -143,7 +143,25 @@ def decode_step(params, cfg: Config, z_t, w, h, c, x_prev=None):
     return dense(params["X_decoded_mean"], h, jax.nn.sigmoid), h, c
 
 
-def _apply_fused(params, cfg: Config, x, key, x_prev=None):
+def draw_apply_noise(key, cfg: Config, batch_size: int) -> dict:
+    """Pre-draw :func:`apply`'s Gaussian noise, bit-identical to its internal draws.
+
+    Mirrors the split/shape/dtype sequence both apply paths use (``kw, kz, _,
+    _ = split(key, 4)``; eps_w ``[B, K-1]``, eps_z ``[B, T, L]``), so
+    ``apply(p, cfg, x, key)`` == ``apply(..., noise=draw_apply_noise(key, cfg,
+    B))``. The data-parallel trainer draws this for the GLOBAL batch and
+    shards it with the data, making ``--dp`` bit-identical to single-device
+    training (``train/loop.py``). Dropout keys are not covered (dropout is
+    never CLI-exposed; DP requires ``cfg.dropout == 0``).
+    """
+    kw, kz, _, _ = jax.random.split(key, 4)
+    return {
+        "eps_w": jax.random.normal(kw, (batch_size, cfg.n_classes - 1)),
+        "eps_z": jax.random.normal(kz, (batch_size, cfg.seq_length, cfg.latent_dim)),
+    }
+
+
+def _apply_fused(params, cfg: Config, x, key, x_prev=None, noise=None):
     """Fused forward: encoder cell, z head, z sample, decoder cell in ONE scan.
 
     The decoder at step t needs only the encoder output at step t, so the two
@@ -156,7 +174,8 @@ def _apply_fused(params, cfg: Config, x, key, x_prev=None):
     from ..nn.core import hard_sigmoid
     from ..ops.lstm import _gates
 
-    kw, kz, _, _ = jax.random.split(key, 4)  # same split as the two-scan path
+    if noise is None:
+        kw, kz, _, _ = jax.random.split(key, 4)  # same split as the two-scan path
     B, T, D = x.shape
     H = cfg.intermediate_dim
     L = cfg.latent_dim
@@ -169,10 +188,15 @@ def _apply_fused(params, cfg: Config, x, key, x_prev=None):
         preferred_element_type=jnp.float32, precision=prec,
     )
     W_mean, W_log_var = encode_w(params, cfg, x)
-    W = sample_logistic_normal(kw, W_mean, W_log_var)
+    if noise is None:
+        W = sample_logistic_normal(kw, W_mean, W_log_var)
+        # same draw as sample_gaussian(kz, Z_mean, Z_log_var) in the two-scan path
+        eps = jax.random.normal(kz, (B, T, L))
+    else:
+        from ..nn.distributions import logistic_normal_from_eps
 
-    # same draw as sample_gaussian(kz, Z_mean, Z_log_var) in the two-scan path
-    eps = jax.random.normal(kz, (B, T, L))
+        W = logistic_normal_from_eps(W_mean, W_log_var, noise["eps_w"].astype(W_mean.dtype))
+        eps = noise["eps_z"]
 
     xw = jnp.concatenate([x, _repeat_w(W, T)], axis=-1)
     enc = params["encoder_h"]
@@ -218,20 +242,32 @@ def _apply_fused(params, cfg: Config, x, key, x_prev=None):
     }
 
 
-def apply(params, cfg: Config, x, key, x_prev=None):
+def apply(params, cfg: Config, x, key, x_prev=None, noise=None):
     """Full stochastic forward pass over a window batch [B, T, D].
 
     Uses the fused single-scan path when its preconditions hold (no dropout,
     XLA backend); the two-scan path is kept for dropout/pallas configurations
     and as the reference implementation the fused path is tested against.
+
+    ``noise`` (optional): pre-drawn eps dict from :func:`draw_apply_noise`;
+    when given the pass is deterministic in it (requires ``dropout == 0``).
     """
     if cfg.dropout == 0.0 and cfg.lstm_backend == "xla" and not cfg.remat:
-        return _apply_fused(params, cfg, x, key, x_prev)
+        return _apply_fused(params, cfg, x, key, x_prev, noise)
     kw, kz, kd1, kd2 = jax.random.split(key, 4)
     W_mean, W_log_var = encode_w(params, cfg, x)
-    W = sample_logistic_normal(kw, W_mean, W_log_var)
+    if noise is None:
+        W = sample_logistic_normal(kw, W_mean, W_log_var)
+    else:
+        from ..nn.distributions import logistic_normal_from_eps
+
+        assert cfg.dropout == 0.0, "noise-explicit apply does not cover dropout masks"
+        W = logistic_normal_from_eps(W_mean, W_log_var, noise["eps_w"].astype(W_mean.dtype))
     Z_mean, Z_log_var, _ = encode_z_sequence(params, cfg, x, W, dropout_key=kd1)
-    Z = sample_gaussian(kz, Z_mean, Z_log_var)
+    if noise is None:
+        Z = sample_gaussian(kz, Z_mean, Z_log_var)
+    else:
+        Z = Z_mean + jnp.exp(Z_log_var / 2) * noise["eps_z"].astype(Z_mean.dtype)
     X_decoded_mean, _ = decode_sequence(params, cfg, Z, W, x_prev, dropout_key=kd2)
     return {
         "X_decoded_mean": X_decoded_mean,
@@ -250,7 +286,8 @@ def loss_and_metrics(params, cfg: Config, batch, key, kl_weight=1.0, class_weigh
     ``vae`` and ``kl`` are per-(batch, timestep) and averaged over both axes;
     the w terms are per-window. Targets: ``y`` [B, T, D] per-step next frames.
     """
-    out = apply(params, cfg, batch["x"], key, batch.get("x_prev"))
+    noise = {"eps_w": batch["eps_w"], "eps_z": batch["eps_z"]} if "eps_w" in batch else None
+    out = apply(params, cfg, batch["x"], key, batch.get("x_prev"), noise=noise)
     vae = jnp.mean(L.vae_loss(batch["y"], out["X_decoded_mean"], cfg.original_dim))
     kl = jnp.mean(L.kl_loss(out["Z_mean"], out["Z_log_var"]))
     if cfg.n_classes > 1:

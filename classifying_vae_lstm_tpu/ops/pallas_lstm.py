@@ -182,9 +182,16 @@ def rk_fits_vmem(hidden_dim: int, bf16: bool = True) -> bool:
     runs the fused train step at 140.9 TFLOP/s, 3.56x the XLA scan
     (artifacts/fused_kernel_exp.json, h1536 phase) — _pick_blocks grants
     rk_cost + 20 MB of budget so a block config exists up there. H2048
-    bf16 (rk 33.5 MB) is unprobed; the gate stays below it until measured."""
+    bf16 (rk 33.5 MB) is unprobed; the gate stays below it until measured.
+
+    The f32 ceiling is SEPARATE and lower (9 MB, the pre-round-4 bound):
+    auto always selects bf16 streams at scale, so large-H f32 residency was
+    never probed on hardware — the round-4 ceiling lift must not silently
+    admit explicit `--lstm_backend pallas` f32 runs at H1024 (rk 16.8 MB)
+    into an unmeasured regime (advisor round-4 finding)."""
     bytes_per = 2 if bf16 else 4
-    return hidden_dim * 4 * hidden_dim * bytes_per <= 19 * 1024 * 1024
+    cap_mib = 19 if bf16 else 9
+    return hidden_dim * 4 * hidden_dim * bytes_per <= cap_mib * 1024 * 1024
 
 
 def _lstm_seq_kernel(xz_ref, rk_ref, h0_ref, c0_ref, hseq_ref, cseq_ref, h_scr, c_scr):

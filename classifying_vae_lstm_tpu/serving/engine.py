@@ -84,7 +84,18 @@ class DynamicBatcher:
         req.event.wait()
         if req.error is not None:
             raise req.error
-        return req.result
+        # result rows are a (possibly still-computing) device array slice;
+        # the host fetch — and therefore the wait — happens per caller here
+        return np.asarray(req.result)
+
+    def idle(self) -> bool:
+        """True when no request is queued — the engine's solo-warm BYPASS
+        predicate: coalescing an unaccompanied request can only add window
+        latency (and possibly padding), so ``generate()`` runs it directly
+        (round-4 serving bench: dynamic batching LOST p95 at cl_vae@512,
+        artifacts/serving_latency.json — this removes the loss mode)."""
+        with self._cv:
+            return not self._queue
 
     def _take_group(self) -> list[_PendingRequest]:
         """Oldest request + every same-step-bucket request that arrives within
@@ -97,7 +108,10 @@ class DynamicBatcher:
             while True:
                 group, songs = [], 0
                 for r in self._queue:
-                    if r.t == t and songs < self.max_songs:
+                    # never overshoot max_songs: a later request only joins if
+                    # it FITS (the first always fits — generate() chunks
+                    # oversized requests to the max bucket)
+                    if r.t == t and songs + len(r.seeds) <= self.max_songs:
                         group.append(r)
                         songs += len(r.seeds)
                 now = time.perf_counter()
@@ -125,12 +139,18 @@ class DynamicBatcher:
         n = len(seeds)
         b = _bucket(n, eng.BATCH_BUCKETS)
         pad = b - n
+        assert pad >= 0, "oversized group — generate() must chunk to the max bucket"
         if pad:
             seeds = np.concatenate([seeds, np.repeat(seeds[:1], pad, axis=0)])
             ws = np.concatenate([ws, np.repeat(ws[:1], pad, axis=0)])
         eng._mark_bucket(b, t)
-        out = np.asarray(jax.block_until_ready(
-            eng._run(jnp.asarray(seeds), t, jnp.asarray(ws))))
+        # DISPATCH ONLY — do not host-sync in the worker. The jitted call
+        # returns a future-like device array; each caller fetches its own rows
+        # (np.asarray blocks there). The worker immediately coalesces the next
+        # group, so consecutive groups pipeline on the device exactly like the
+        # serialized path's per-thread dispatch — on a remote-TPU deployment a
+        # per-group block_until_ready put one tunnel round-trip BETWEEN groups.
+        out = eng._run(jnp.asarray(seeds), t, jnp.asarray(ws))
         with eng._lock:
             eng.stats["batches"] += 1
             eng.stats["batched_songs"] += n
@@ -186,6 +206,12 @@ class GenerationEngine:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "songs": 0, "gen_seconds": 0.0, "compiles": 0,
                       "batches": 0, "batched_songs": 0}
+        # count of solo BYPASS dispatches currently on the device: the bypass
+        # predicate (generate()) claims this under the lock so that in a
+        # concurrent burst exactly ONE request runs solo and the rest queue
+        # into the batcher and coalesce (without it, every burst client sees
+        # an empty queue and all of them bypass — fully serialized dispatch)
+        self._inflight = 0
         self._compiled: set = set()
         self._latencies: list = []  # per-request seconds (bounded ring)
         self._completions: list = []  # (completion time, songs) bounded ring
@@ -250,10 +276,12 @@ class GenerationEngine:
                       dtype=jnp.float32)
         self._mark_bucket(b, t)
         out = self._run(seeds, t, ws)
-        if self.family == "cl_vae" and self._batcher is None:
+        if self.family == "cl_vae":
             # the solo infer_w request path runs the SAME program with
             # w_vals=None (w inferred in-graph) — a distinct jit entry that
-            # must be warm too, or the first infer_w request compiles
+            # must be warm too, or the first infer_w request compiles. Under
+            # dynamic batching the empty-queue BYPASS makes this path
+            # reachable as well, so warm it unconditionally.
             out = (out, self._run(seeds, t, None))
         return jax.block_until_ready(out)
 
@@ -342,12 +370,44 @@ class GenerationEngine:
         sliced off before returning. ``seed_rolls`` ([T, D] or [k, T, D])
         seeds from user piano-rolls (e.g. parsed MIDI) instead of the bank.
         """
+        maxb = self.BATCH_BUCKETS[-1]
+        if n > maxb:
+            # chunk oversized requests to the max bucket (the bucket grid —
+            # and the batcher — cannot represent them; pre-fix they silently
+            # truncated to maxb songs on the solo path and crashed the batcher)
+            outs, done = [], 0
+            while done < n:
+                k = min(maxb, n - done)
+                si = None if seed_indices is None else np.asarray(seed_indices)[done : done + k]
+                sr = None
+                if seed_rolls is not None:
+                    sr = self._coerce_seed_rolls(seed_rolls)
+                    sr = sr[done % len(sr) : done % len(sr) + k] if len(sr) > 1 else sr
+                outs.append(self.generate(k, nsteps, key_name_index, infer_w, si, sr))
+                done += k
+            return np.concatenate(outs, axis=0)
+
         t0 = time.perf_counter()
         b = _bucket(n, self.BATCH_BUCKETS)
         t = _bucket(nsteps, self.STEP_BUCKETS)
+        # BYPASS: with dynamic batching but an empty queue, nothing in flight,
+        # and a warm bucket, coalescing can only add window latency (+ padding
+        # to the coalesced bucket) — run the one-dispatch solo path instead.
+        # Round-4 measured the loss mode this removes (cl_vae@512: dyn p95
+        # 339.5 vs 281.5 ms, artifacts/serving_latency.json). The in-flight
+        # claim is atomic under the lock: in a concurrent burst exactly one
+        # request bypasses and the rest coalesce in the batcher.
+        batcher = self._batcher
+        solo_claim = False
+        if batcher is not None and (b, t) in self._compiled and batcher.idle():
+            with self._lock:
+                if self._inflight == 0:
+                    self._inflight += 1
+                    solo_claim = True
+                    batcher = None
         # with dynamic batching, build exactly n songs and let the batcher
         # pad the COALESCED batch to a bucket; solo requests pad here
-        m = n if self._batcher is not None else b
+        m = n if batcher is not None else b
 
         user_seeds = None
         if seed_rolls is not None:
@@ -374,7 +434,7 @@ class GenerationEngine:
                 jax.nn.one_hot(key_name_index, self.cfg.n_classes),
                 (m, self.cfg.n_classes))
         elif infer_w or user_seeds is not None:
-            if self.family == "cl_vae" and self._batcher is None:
+            if self.family == "cl_vae" and batcher is None:
                 # solo path: the jitted generate program infers w itself
                 # (w_vals=None) — ONE device dispatch per request; warmup
                 # compiles this entry per bucket too
@@ -391,12 +451,17 @@ class GenerationEngine:
                 raise ValueError("true-key conditioning needs seed_keys")
             ws = jax.nn.one_hot(jnp.asarray(self.seed_keys[seed_indices]), self.cfg.n_classes)
 
-        if self._batcher is not None:
-            out = self._batcher.submit(np.asarray(seeds), np.asarray(ws), t)[:n, :nsteps]
-        else:
-            self._mark_bucket(b, t)
-            out = self._run(seeds, t, ws)
-            out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
+        try:
+            if batcher is not None:
+                out = batcher.submit(np.asarray(seeds), np.asarray(ws), t)[:n, :nsteps]
+            else:
+                self._mark_bucket(b, t)
+                out = self._run(seeds, t, ws)
+                out = np.asarray(jax.block_until_ready(out))[:n, :nsteps]
+        finally:
+            if solo_claim:
+                with self._lock:
+                    self._inflight -= 1
         dt = time.perf_counter() - t0
         with self._lock:
             self.stats["requests"] += 1

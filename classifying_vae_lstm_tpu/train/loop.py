@@ -63,11 +63,14 @@ class Trainer:
         batch_size: int,
         data_sharding=None,
         replicated_sharding=None,
+        mesh=None,
+        noise_fn: Callable | None = None,
     ):
         self.loss_fn = loss_fn
         self.optimizer = optimizer
         self.batch_size = batch_size
         self.data_sharding = data_sharding
+        self.mesh = mesh
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -104,8 +107,91 @@ class Trainer:
             _, metrics = jax.lax.scan(step, None, (batches, keys))
             return jax.tree.map(jnp.mean, metrics)
 
-        self.train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
-        self.eval_epoch = jax.jit(eval_epoch)
+        if mesh is not None:
+            # Data-parallel epochs: explicit shard_map + psum (SPMD spelled
+            # out per device, the TPU-native gradient all-reduce — see
+            # ..parallel.shard_map_step). Bit-identity with the single-device
+            # epoch is by construction: the per-batch noise is PRE-DRAWN for
+            # the global batch with the same keys/splits apply() would use
+            # (models.*.draw_apply_noise) and sharded with the data, so every
+            # device computes exactly the rows single-device would. Only the
+            # gradient reduction order differs (pmean of shard-means), an fp
+            # reordering. Composes with the Pallas kernels: inside shard_map
+            # each device runs the fused pallas_call on its LOCAL shard
+            # (tested in tests/test_parallel.py).
+            assert noise_fn is not None, "DP training needs the model's draw_apply_noise"
+            from jax.sharding import PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            assert batch_size % n_data == 0, (
+                f"--dp {n_data} must divide batch_size {batch_size}"
+            )
+            rep, shard = P(), P(None, "data")  # [nb, B, ...]: shard the batch axis
+
+            def _with_noise(batches, keys):
+                # (nb, B, ...) noise from the SAME per-batch keys the
+                # single-device epoch hands to loss_fn
+                return {**batches, **jax.vmap(noise_fn)(keys)}
+
+            def dp_train_epoch(params, opt_state, data, key, kl_w, class_w, w_kl_w):
+                n = next(iter(data.values())).shape[0]
+                kperm, kstep = jax.random.split(key)
+                perm = jax.random.permutation(kperm, n)
+                batches = _batched(data, perm, batch_size)
+                keys = jax.random.split(kstep, n // batch_size)
+                batches = _with_noise(batches, keys)
+
+                def per_device(params, opt_state, batches, keys, kl_w, class_w, w_kl_w):
+                    def step(carry, xs):
+                        params, opt_state = carry
+                        batch, k = xs
+                        (_, metrics), grads = grad_fn(params, batch, k, kl_w, class_w, w_kl_w)
+                        # THE data-parallel collective: mean-reduce over ICI
+                        grads = jax.lax.pmean(grads, "data")
+                        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_state), metrics
+
+                    (params, opt_state), metrics = jax.lax.scan(
+                        step, (params, opt_state), (batches, keys)
+                    )
+                    metrics = jax.lax.pmean(jax.tree.map(jnp.mean, metrics), "data")
+                    return params, opt_state, metrics
+
+                return jax.shard_map(
+                    per_device, mesh=mesh,
+                    in_specs=(rep, rep, shard, rep, rep, rep, rep),
+                    out_specs=(rep, rep, rep), check_vma=False,
+                )(params, opt_state, batches, keys, kl_w, class_w, w_kl_w)
+
+            def dp_eval_epoch(params, data, key, kl_w, class_w, w_kl_w):
+                n = next(iter(data.values())).shape[0]
+                nb = n // batch_size
+                batches = {k: v[: nb * batch_size].reshape((nb, batch_size) + v.shape[1:])
+                           for k, v in data.items()}
+                keys = jax.random.split(key, nb)
+                batches = _with_noise(batches, keys)
+
+                def per_device(params, batches, keys, kl_w, class_w, w_kl_w):
+                    def step(_, xs):
+                        batch, k = xs
+                        _, metrics = self.loss_fn(params, batch, k, kl_w, class_w, w_kl_w)
+                        return None, metrics
+
+                    _, metrics = jax.lax.scan(step, None, (batches, keys))
+                    return jax.lax.pmean(jax.tree.map(jnp.mean, metrics), "data")
+
+                return jax.shard_map(
+                    per_device, mesh=mesh,
+                    in_specs=(rep, shard, rep, rep, rep, rep),
+                    out_specs=rep, check_vma=False,
+                )(params, batches, keys, kl_w, class_w, w_kl_w)
+
+            self.train_epoch = jax.jit(dp_train_epoch, donate_argnums=(0, 1))
+            self.eval_epoch = jax.jit(dp_eval_epoch)
+        else:
+            self.train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+            self.eval_epoch = jax.jit(eval_epoch)
 
         def train_step(params, opt_state, batch, key, kl_w, class_w, w_kl_w):
             (_, metrics), grads = grad_fn(params, batch, key, kl_w, class_w, w_kl_w)
