@@ -394,12 +394,13 @@ def test_fused_bwd_full_matches_xla(monkeypatch):
     """fusion=(proj, drk, full): dW/db/dx/drk all computed inside the backward
     kernel (dz never leaves VMEM); every grad must match the XLA scan.
 
-    Two routings, both asserted explicitly (the padded-grid full kernel
-    crashes real TPUs through jit-of-grad — commit dc31119, re-confirmed
-    round 4; see _core_fp_bwd — so the gate routes on exact division):
-    B=16 with bb=8 divides exactly and must take the FULL rung; B=20 pads
-    the last block and must take the drk fallback. Both must be grad-exact
-    vs XLA."""
+    Round 5 (VERDICT r4 item 5): non-dividing batches no longer fall back to
+    the drk rung — lstm_sequence_pallas PADS the batch up to a block multiple
+    (zero rows, exact math) so EVERY shape takes the full rung: B=16 divides
+    bb=8 directly; B=20 pads to 24 (grads must still be exact — the padded
+    rows' cotangent is zero). The drk fallback remains only for direct
+    _lstm_pallas_core_fp callers (the padded-grid full kernel crashes real
+    TPUs through jit-of-grad — commit dc31119; see _core_fp_bwd)."""
     from classifying_vae_lstm_tpu.ops import pallas_lstm
 
     monkeypatch.setattr(
@@ -428,7 +429,7 @@ def test_fused_bwd_full_matches_xla(monkeypatch):
         h, (hT, cT) = lstm_sequence(p, x, h0, c0, backend=backend, fusion=fusion)
         return jnp.sum(h**2 * jnp.cos(jnp.arange(h.shape[-1]))) + jnp.sum(cT * hT)
 
-    for B, route in [(16, "full"), (20, "drk")]:  # 16 % 8 == 0; 20 % 8 != 0
+    for B in (16, 20):  # 16 % 8 == 0; 20 pads to 24 at the entry
         x = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 12))
         h0 = jax.random.normal(jax.random.PRNGKey(2), (B, 16))
         c0 = jax.random.normal(jax.random.PRNGKey(3), (B, 16))
@@ -440,8 +441,20 @@ def test_fused_bwd_full_matches_xla(monkeypatch):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-4, atol=1e-5)
         took = {k: calls[k] - before[k] for k in calls}
-        assert took[route] == 4 and took["full" if route == "drk" else "drk"] == 0, (
-            B, took)
+        assert took == {"full": 4, "drk": 0}, (B, took)
+
+    # defense path: a DIRECT _lstm_pallas_core_fp caller at a non-dividing
+    # batch (no entry padding) must still fall back to the drk rung
+    x_t = jax.random.normal(jax.random.PRNGKey(4), (8, 20, 128))
+    w = jax.random.normal(jax.random.PRNGKey(5), (128, 64)) * 0.1
+    b = jnp.zeros((1, 64))
+    rk = jax.random.normal(jax.random.PRNGKey(6), (16, 64)) * 0.1
+    h0 = jnp.zeros((20, 16))
+    before = dict(calls)
+    jax.grad(lambda rk: jnp.sum(pallas_lstm._lstm_pallas_core_fp(
+        True, True, x_t, w, b, rk, h0, h0)[0] ** 2))(rk)
+    took = {k: calls[k] - before[k] for k in calls}
+    assert took == {"full": 0, "drk": 1}, took
 
 
 def test_fused_proj_inference_interleaved(monkeypatch):

@@ -17,6 +17,11 @@ per config, same process.
 
 Usage: python tools/exp_fused.py          (real TPU, ~10 min)
 Writes artifacts/fused_kernel_exp.json.
+
+NOTE (round 5): the fullstep rows here are same-process A/B RATIOS between
+fusion triples — valid for picking a winner, but their absolute MFU is not
+the headline number (they sync with block_until_ready and chain dispatches).
+The canonical MFU instrument is bench.py's `scaled_flop_bound`.
 """
 
 from __future__ import annotations

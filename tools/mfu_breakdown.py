@@ -1,5 +1,11 @@
 """Per-stage breakdown + roofline accounting for the scaled train step.
 
+NOT the headline MFU instrument (round 5): this tool's stage sums use
+`jax.block_until_ready`, which on the remote backend can return before
+execution — its full-step number is a DIAGNOSTIC decomposition. The one
+canonical MFU figure is bench.py's `scaled_flop_bound` (scanned steps,
+host-fetch completion sync, roofline guard); quote that everywhere.
+
 VERDICT round 2, item 4: "the 44.5% MFU number has no accounting behind it".
 This tool decomposes the pallas cl_vrnn train step at the scaled configs
 (hidden 1024 / batch 1024 and hidden 512 / batch 1024, bf16 streams) into
