@@ -44,6 +44,7 @@ def train(args):
 
     optimizer, was_adam_wn = init_optimizer(args.optimizer)
     args.optimizer = "adam-wn" if was_adam_wn else args.optimizer
+    args.two_cell = {"auto": None, "on": True, "off": False}[args.two_cell]
     cfg = common.cl_vrnn_config_from_args(vars(args))
     if args.lstm_backend == "auto":
         cfg = common.resolve_lstm_backend(cfg, "auto")
@@ -62,6 +63,16 @@ def train(args):
         from ..ops.pallas_lstm import resolve_fusion
 
         cfg = dataclasses.replace(cfg, fusion=resolve_fusion(None))
+    if cfg.lstm_backend == "pallas" and cfg.two_cell is None:
+        # pin the two-cell decision for the same reason as the fusion triple
+        import dataclasses
+
+        from ..ops.pallas_two_cell import should_use
+
+        cfg = dataclasses.replace(cfg, two_cell=bool(should_use(cfg)))
+    args.two_cell = cfg.two_cell  # args.json records the resolved decision
+    if cfg.lstm_backend == "pallas":
+        print(f"two_cell={cfg.two_cell}")
     if cfg.fusion is not None:
         args.fusion = list(cfg.fusion)  # args.json records the resolved triple
     key = jax.random.PRNGKey(args.seed)
@@ -169,6 +180,12 @@ def build_parser():
                         help="train data-parallel over N devices (shard_map + gradient "
                              "psum over the mesh); must divide --batch_size; bit-identical "
                              "to single-device training (extension)")
+    parser.add_argument("--two_cell", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="fuse encoder+decoder LSTMs into ONE Pallas kernel whose "
+                             "chain matmuls overlap in the MXU pipeline (extension; "
+                             "pallas backend only; 'auto' gates on measured win region, "
+                             "resolved value recorded in args.json)")
     return parser
 
 

@@ -130,6 +130,10 @@ def cl_vrnn_config_from_args(margs: dict) -> cl_vrnn.Config:
         # args.json round-trips the tuple as a JSON list; re-tuple so the
         # Config stays hashable (it rides through jit as a static argument)
         fusion=tuple(margs["fusion"]) if margs.get("fusion") else None,
+        # absent key (pre-round-5 checkpoints) -> False, NOT auto: an old
+        # pallas checkpoint must reload onto the exact two-kernel path it
+        # trained with, not silently switch to the two-cell kernel
+        two_cell=margs.get("two_cell", False),
     )
 
 
@@ -169,10 +173,15 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
         )
         if use_pallas:
             from ..ops.pallas_lstm import resolve_fusion
+            from ..ops.pallas_two_cell import should_use
 
-            return dataclasses.replace(
+            new = dataclasses.replace(
                 cfg, lstm_backend="pallas", bf16_compute=True,
                 fusion=cfg.fusion or resolve_fusion(None))
+            if getattr(new, "two_cell", None) is None:
+                # pin the two-cell decision (round 5) so args.json records it
+                new = dataclasses.replace(new, two_cell=bool(should_use(new)))
+            return new
         return dataclasses.replace(cfg, lstm_backend="xla")
     return dataclasses.replace(cfg, lstm_backend=choice)
 

@@ -59,6 +59,10 @@ class Config:
     # pallas kernel-fusion triple (proj, drk, full); None = set_fusion policy
     # defaults (ops/pallas_lstm.resolve_fusion) — static, hashable, frozen
     fusion: tuple | None = None
+    # two-cell fused train kernel (encoder ∥ decoder in ONE Pallas program,
+    # ops/pallas_two_cell.py): None = auto (pallas_two_cell.should_use),
+    # True/False = explicit override — static and hashable like `fusion`
+    two_cell: bool | None = None
 
 
 def init(key, cfg: Config) -> dict:
@@ -242,18 +246,60 @@ def _apply_fused(params, cfg: Config, x, key, x_prev=None, noise=None):
     }
 
 
+def _apply_two_cell(params, cfg: Config, x, key, x_prev=None, noise=None):
+    """Pallas two-cell path: the whole recurrent core (encoder LSTM, z heads,
+    z sample, decoder LSTM) in ONE kernel whose two chain matmuls overlap in
+    the MXU pipeline (ops/pallas_two_cell.py — the H>=256 train regime is
+    chain-latency bound and the chains hide behind each other). Key/noise
+    semantics identical to the other apply paths."""
+    from ..ops.pallas_two_cell import two_cell_sequence
+
+    if noise is None:
+        kw, kz, _, _ = jax.random.split(key, 4)  # same split as the two-scan path
+    B, T, _ = x.shape
+    W_mean, W_log_var = encode_w(params, cfg, x)
+    if noise is None:
+        W = sample_logistic_normal(kw, W_mean, W_log_var)
+        eps = jax.random.normal(kz, (B, T, cfg.latent_dim))
+    else:
+        from ..nn.distributions import logistic_normal_from_eps
+
+        W = logistic_normal_from_eps(W_mean, W_log_var, noise["eps_w"].astype(W_mean.dtype))
+        eps = noise["eps_z"]
+    hd, zm, zlv, z = two_cell_sequence(
+        params, cfg, x, x_prev, W, eps,
+        compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None)
+    X_decoded_mean = dense(params["X_decoded_mean"], hd, jax.nn.sigmoid)
+    return {
+        "X_decoded_mean": X_decoded_mean,
+        "W": W,
+        "W_mean": W_mean,
+        "W_log_var": W_log_var,
+        "Z": z,
+        "Z_mean": zm,
+        "Z_log_var": zlv,
+    }
+
+
 def apply(params, cfg: Config, x, key, x_prev=None, noise=None):
     """Full stochastic forward pass over a window batch [B, T, D].
 
     Uses the fused single-scan path when its preconditions hold (no dropout,
-    XLA backend); the two-scan path is kept for dropout/pallas configurations
-    and as the reference implementation the fused path is tested against.
+    XLA backend); the Pallas two-cell kernel when the backend is pallas and
+    :func:`..ops.pallas_two_cell.should_use` holds; the two-scan path is kept
+    for dropout/small-pallas configurations and as the reference
+    implementation both fused paths are tested against.
 
     ``noise`` (optional): pre-drawn eps dict from :func:`draw_apply_noise`;
     when given the pass is deterministic in it (requires ``dropout == 0``).
     """
     if cfg.dropout == 0.0 and cfg.lstm_backend == "xla" and not cfg.remat:
         return _apply_fused(params, cfg, x, key, x_prev, noise)
+    if cfg.dropout == 0.0 and cfg.lstm_backend == "pallas" and not cfg.remat:
+        from ..ops.pallas_two_cell import should_use
+
+        if should_use(cfg):
+            return _apply_two_cell(params, cfg, x, key, x_prev, noise)
     kw, kz, kd1, kd2 = jax.random.split(key, 4)
     W_mean, W_log_var = encode_w(params, cfg, x)
     if noise is None:

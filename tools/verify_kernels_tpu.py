@@ -231,6 +231,75 @@ def main():
         except Exception as e:
             check(name, False, repr(e)[:200])
 
+    # --- two-cell fused train kernel (ops/pallas_two_cell.py): the whole
+    # cl_vrnn recurrent core in one program. Grad-vs-XLA at the flagship
+    # scaled shape (bf16), an UNALIGNED batch (entry pad-to-divisible), the
+    # f32 mode, and the scanned-donated-grad regime (Trainer's compile form,
+    # where round-3 found VMEM-stack faults the per-call form missed).
+    import dataclasses
+
+    from classifying_vae_lstm_tpu.models.cl_vrnn import apply as vrnn_apply
+
+    for B, H, bf16, rtol in [
+        (1024, 512, True, 0.08),
+        (500, 512, True, 0.08),
+        (200, 512, False, 2e-3),
+        (1024, 1024, True, 0.08),
+    ]:
+        name = f"two_cell grad B{B} H{H} {'bf16' if bf16 else 'f32'}"
+        try:
+            cfg0 = cl_vrnn.Config(original_dim=88, intermediate_dim=H,
+                                  latent_dim=2, seq_length=16, n_classes=10,
+                                  use_x_prev=True, bf16_compute=bf16)
+            cfg_p = dataclasses.replace(cfg0, lstm_backend="pallas", two_cell=True)
+            p = cl_vrnn.init(jax.random.PRNGKey(0), cfg0)
+            ks = jax.random.split(jax.random.PRNGKey(1), 3)
+            x = (jax.random.uniform(ks[0], (B, 16, 88)) < 0.1).astype(jnp.float32)
+            xp = (jax.random.uniform(ks[1], (B, 16, 88)) < 0.1).astype(jnp.float32)
+            key = jax.random.PRNGKey(2)
+
+            def gfn(p, cfg):
+                def loss(p):
+                    o = vrnn_apply(p, cfg, x, key, xp)
+                    return (jnp.mean(o["X_decoded_mean"] ** 2)
+                            + jnp.mean(o["Z_mean"] * o["Z_log_var"]))
+                return jax.grad(loss)(p)
+
+            ga = jax.jit(lambda p: gfn(p, cfg0))(p)
+            gb = jax.jit(lambda p: gfn(p, cfg_p))(p)
+            ok = all(
+                np.allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                            rtol=rtol,
+                            atol=rtol * float(np.abs(np.asarray(a)).max() + 1e-6))
+                for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)))
+            check(name, ok)
+        except Exception as e:
+            check(name, False, repr(e)[:200])
+
+    name = "two_cell scanned-donated-grad B1024 H512 bf16"
+    try:
+        cfg_p = cl_vrnn.Config(original_dim=88, intermediate_dim=512,
+                               latent_dim=2, seq_length=16, n_classes=10,
+                               use_x_prev=True, bf16_compute=True,
+                               lstm_backend="pallas", two_cell=True)
+        p = cl_vrnn.init(jax.random.PRNGKey(0), cfg_p)
+        x = (jax.random.uniform(jax.random.PRNGKey(1), (1024, 16, 88)) < 0.1
+             ).astype(jnp.float32)
+
+        def scanned(p, x):
+            def body(carry, k):
+                g = jax.grad(lambda q: jnp.mean(vrnn_apply(
+                    q, cfg_p, x, k, x)["X_decoded_mean"] ** 2))(carry)
+                return jax.tree.map(lambda a, b: a - 1e-3 * b, carry, g), 0
+            out, _ = jax.lax.scan(body, p, jax.random.split(jax.random.PRNGKey(3), 2))
+            return out
+
+        out = jax.jit(scanned, donate_argnums=0)(p, x)
+        ok = all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))
+        check(name, ok)
+    except Exception as e:
+        check(name, False, repr(e)[:200])
+
     print("FAILURES:", FAILURES if FAILURES else "none")
 
     # Committed evidence that the sweep ran on hardware (judge-visible).
