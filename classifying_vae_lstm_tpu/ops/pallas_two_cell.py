@@ -98,11 +98,17 @@ def _two_cell_compiler_params():
 
 
 def should_use(cfg, two_cell=None) -> bool:
-    """Auto gate: both recurrent weights + accumulators must fit VMEM, the
-    lane-padded latent must hold L, and there must be enough serial chain to
-    hide (the win region is the chain-latency-bound H>=256; at the
-    reference's 88-wide layers the XLA scan already wins — same shape of
-    gate as the fused generation kernels)."""
+    """Auto gate: the MEASURED win region (artifacts/two_cell_exp.json, v5e
+    full optimizer step, differenced device time): two-cell beats the
+    two-kernel step 1.09-1.12x at H256/512/768 — the chain-latency-bound
+    regime where a second full-width chain rides the first's pipeline
+    bubbles — but LOSES at H1024 (0.937x: the [256,1024]@[1024,4096]
+    chain matmuls already fill the MXU, and the fused kernel's narrower
+    batch blocks + heavier VMEM residency cost more than the overlap
+    saves). So the gate is 256 <= H < 1024; at the reference's 88-wide
+    layers the XLA scan wins outright (same shape of gate as the fused
+    generation kernels). Both recurrent weights + accumulators must also
+    fit VMEM and the lane-padded latent must hold L."""
     if two_cell is None:
         two_cell = getattr(cfg, "two_cell", None)
     if two_cell is not None:
@@ -110,7 +116,7 @@ def should_use(cfg, two_cell=None) -> bool:
     H = cfg.intermediate_dim
     return (
         cfg.latent_dim <= LP
-        and 256 <= H
+        and 256 <= H < 1024
         and rk_fits_vmem(H, bf16=cfg.bf16_compute)
         and H * 4 * H * (2 if cfg.bf16_compute else 4) * 4 <= 48 * 1024 * 1024
         and cfg.dropout == 0.0

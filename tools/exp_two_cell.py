@@ -169,12 +169,18 @@ def run_config(hid, batch, bf16=True):
 def main():
     assert jax.default_backend() == "tpu", "A/B needs the real TPU"
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    configs = ([tuple(int(v) for v in a.split(",")) for a in sys.argv[1:]]
+               or [(512, 1024), (1024, 1024)])
+    path = os.path.join(REPO, "artifacts", "two_cell_exp.json")
     out = {}
-    for hid, batch in [(512, 1024), (1024, 1024)]:
+    if os.path.exists(path):  # merge: boundary probes extend the grid
+        with open(path) as f:
+            out = json.load(f)
+    for hid, batch in configs:
         out[f"H{hid}_B{batch}_bf16"] = run_config(hid, batch, bf16=True)
-    with open(os.path.join(REPO, "artifacts", "two_cell_exp.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote artifacts/two_cell_exp.json", flush=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
