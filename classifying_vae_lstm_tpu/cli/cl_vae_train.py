@@ -50,6 +50,18 @@ def train(args):
     optimizer, was_adam_wn = init_optimizer(args.optimizer)
     args.optimizer = "adam-wn" if was_adam_wn else args.optimizer
     cfg = common.cl_vae_config_from_args(vars(args))
+    if cfg.train_backend != "xla":
+        # resolve + pin the decision (cf. cl_vrnn's lstm_backend/two_cell):
+        # args.json records what actually ran, so reload numerics never track
+        # a future auto policy
+        import dataclasses
+
+        from ..ops.pallas_vae import should_use
+
+        cfg = dataclasses.replace(
+            cfg, train_backend="pallas" if should_use(cfg) else "xla")
+        args.train_backend = cfg.train_backend
+        print(f"train_backend={cfg.train_backend}")
     key = jax.random.PRNGKey(args.seed)
     key, k_init, k_fit = jax.random.split(key, 3)
     params = cl_vae.init(k_init, cfg)
@@ -157,6 +169,14 @@ def build_parser():
                         help="train data-parallel over N devices (shard_map + gradient "
                              "psum over the mesh); must divide --batch_size; bit-identical "
                              "to single-device training (extension)")
+    parser.add_argument("--train_backend", type=str, default="xla",
+                        choices=["xla", "auto", "pallas"],
+                        help="training-step backend (extension): 'pallas' fuses the whole "
+                             "dense stack fwd+bwd into one VMEM-resident kernel per "
+                             "direction (ops/pallas_vae.py); 'auto' resolves to 'xla' — "
+                             "the kernel measured 0.64-0.91x XLA at every probed scale "
+                             "(artifacts/vae_train_kernel_exp.json); resolved value "
+                             "recorded in args.json")
     return parser
 
 

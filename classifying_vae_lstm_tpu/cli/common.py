@@ -113,6 +113,9 @@ def cl_vae_config_from_args(margs: dict) -> cl_vae.Config:
         w_log_var_prior=margs.get("w_log_var_prior", 0.0),
         gen_backend=margs.get("gen_backend", "xla"),
         bf16_compute=margs.get("bf16_compute", False),
+        # absent key (pre-round-5 checkpoints) -> 'xla': old checkpoints must
+        # reload onto the exact path they trained with (cf. two_cell)
+        train_backend=margs.get("train_backend", "xla"),
     )
 
 

@@ -58,14 +58,21 @@ class Config:
     # (original_dim ~1000, intermediate_dim >=1024) it doubles MXU throughput.
     bf16_compute: bool = False
     # generation-time backend: 'xla' (lax.scan sampler) or 'pallas' (fused
-    # whole-generation kernel, ops/pallas_generate_vae.py). Training has no
-    # backend knob — the cl_vae forward is plain dense matmuls XLA fuses.
-    # Measured at scale (artifacts/vae_scale_bench.json, v5e, bf16): the
-    # scanned optimizer step reaches ~30% of the FLOP roof at D976/H2048/
-    # B4096 — the gap is materialized-activation HBM traffic between XLA's
-    # fusion islands, i.e. known headroom for a VMEM-resident fused train
-    # kernel if this secondary family's training ever becomes the bottleneck.
+    # whole-generation kernel, ops/pallas_generate_vae.py).
     gen_backend: str = "xla"
+    # training-step backend (round 5): 'xla' (the default AND the measured
+    # winner), 'pallas' (the whole dense stack fwd+bwd in one VMEM-resident
+    # kernel per direction, ops/pallas_vae.py), or 'auto' (resolves to 'xla'
+    # everywhere — the kernel's measured win region is empty). Round 4 saw
+    # the XLA step at ~25-30% of roof at D976/H2048/B4096
+    # (artifacts/vae_scale_bench.json) and called the headroom "known"; the
+    # round-5 kernel prototype tested that call on v5e and LOST at every
+    # scale (0.642-0.913x, artifacts/vae_train_kernel_exp.json) — the
+    # binding cost is the [B, ~1000]-frame stream both backends pay, so the
+    # headroom is not recoverable by fusion alone (design call:
+    # ops/pallas_vae.py docstring, docs/KERNELS.md). Static + hashable,
+    # recorded in args.json like cl_vrnn's fusion/two_cell.
+    train_backend: str = "xla"
 
     @property
     def has_hidden(self) -> bool:
@@ -150,6 +157,22 @@ def apply(params, cfg: Config, x, key, x_prev=None, noise=None):
     cd = jnp.bfloat16 if cfg.bf16_compute else None
     if noise is None:
         kw, kz = jax.random.split(key)
+    from ..ops.pallas_vae import should_use as _use_fused_vae
+
+    if _use_fused_vae(cfg):
+        # fused dense-stack path (ops/pallas_vae.py): same draws as below —
+        # sample_logistic_normal/sample_gaussian draw with the f32 head
+        # shapes, exactly what draw_apply_noise pre-draws
+        from ..ops.pallas_vae import vae_apply_core
+
+        B = x.shape[0]
+        if noise is None:
+            eps_w = jax.random.normal(kw, (B, cfg.n_classes - 1))
+            eps_z = jax.random.normal(kz, (B, cfg.latent_dim))
+        else:
+            eps_w, eps_z = noise["eps_w"], noise["eps_z"]
+        return vae_apply_core(params, cfg, x, x_prev, eps_w, eps_z,
+                              compute_dtype=cd)
     w_mean, w_log_var = encode_w(params, x, dtype=cd)
     if noise is None:
         w = sample_logistic_normal(kw, w_mean, w_log_var)

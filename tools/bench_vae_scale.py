@@ -52,7 +52,7 @@ def _layer_dims(D, Cw, K, H, L, use_x_prev):
 
 
 def bench_step(batch: int, hid: int, D: int = 976, Cw: int = 256, K: int = 13,
-               L: int = 16, n_steps: int = 20):
+               L: int = 16, n_steps: int = 20, train_backend: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +62,8 @@ def bench_step(batch: int, hid: int, D: int = 976, Cw: int = 256, K: int = 13,
 
     cfg = cl_vae.Config(original_dim=D, intermediate_dim=hid, latent_dim=L,
                         intermediate_class_dim=Cw, n_classes=K,
-                        use_x_prev=True, bf16_compute=True)
+                        use_x_prev=True, bf16_compute=True,
+                        train_backend=train_backend)
     params = cl_vae.init(jax.random.PRNGKey(0), cfg)
     opt, _ = init_optimizer("adam-wn")
     loss_fn = functools.partial(
@@ -118,6 +119,7 @@ def bench_step(batch: int, hid: int, D: int = 976, Cw: int = 256, K: int = 13,
     roof = max(roof_flops_s, roof_bw_s)
     return {
         "config": f"cl_vae D{D} Cw{Cw} H{hid} B{batch} bf16",
+        "train_backend": train_backend,
         "step_seconds": round(best, 6),
         "steps_per_sec": round(1.0 / best, 1),
         "tflops_per_step": round(flops / 1e12, 4),

@@ -276,6 +276,73 @@ def main():
         except Exception as e:
             check(name, False, repr(e)[:200])
 
+    # --- fused cl_vae dense-stack train kernel (ops/pallas_vae.py): grad
+    # parity vs the XLA apply at the scaled shape (bf16), an UNALIGNED batch
+    # (entry pad-to-divisible), and the reference-width f32 mode.
+    from classifying_vae_lstm_tpu.models import cl_vae as vae_mod
+
+    for B, H, bf16, rtol in [
+        (1024, 2048, True, 0.08),
+        (500, 1024, True, 0.08),
+        (200, 512, False, 2e-3),
+    ]:
+        name = f"vae_train grad B{B} H{H} {'bf16' if bf16 else 'f32'}"
+        try:
+            cfg0 = vae_mod.Config(original_dim=976, intermediate_dim=H,
+                                  latent_dim=16, intermediate_class_dim=256,
+                                  n_classes=13, use_x_prev=True,
+                                  bf16_compute=bf16)
+            cfg_p = dataclasses.replace(cfg0, train_backend="pallas")
+            p = vae_mod.init(jax.random.PRNGKey(0), cfg0)
+            ks = jax.random.split(jax.random.PRNGKey(1), 3)
+            batch = {
+                "x": (jax.random.uniform(ks[0], (B, 976)) < 0.1).astype(jnp.float32),
+                "x_prev": (jax.random.uniform(ks[1], (B, 976)) < 0.1).astype(jnp.float32),
+                "w": jax.nn.one_hot(jax.random.randint(ks[2], (B,), 0, 13), 13),
+            }
+            batch["y"] = batch["x"]
+
+            def gfn(p, cfg):
+                return jax.grad(lambda q: vae_mod.loss_and_metrics(
+                    q, cfg, batch, jax.random.PRNGKey(2))[0])(p)
+
+            ga = jax.jit(lambda p: gfn(p, cfg0))(p)
+            gb = jax.jit(lambda p: gfn(p, cfg_p))(p)
+            ok = all(
+                np.allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                            rtol=rtol,
+                            atol=rtol * float(np.abs(np.asarray(a)).max() + 1e-6))
+                for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)))
+            check(name, ok)
+        except Exception as e:
+            check(name, False, repr(e)[:200])
+
+    name = "vae_train scanned-donated-grad B4096 H2048 bf16"
+    try:
+        cfg_p = vae_mod.Config(original_dim=976, intermediate_dim=2048,
+                               latent_dim=16, intermediate_class_dim=256,
+                               n_classes=13, use_x_prev=True,
+                               bf16_compute=True, train_backend="pallas")
+        p = vae_mod.init(jax.random.PRNGKey(0), cfg_p)
+        xb = (jax.random.uniform(jax.random.PRNGKey(1), (4096, 976)) < 0.1
+              ).astype(jnp.float32)
+        batch = {"x": xb, "x_prev": xb, "y": xb,
+                 "w": jax.nn.one_hot(jnp.zeros(4096, jnp.int32), 13)}
+
+        def scanned(p, batch):
+            def body(carry, k):
+                g = jax.grad(lambda q: vae_mod.loss_and_metrics(
+                    q, cfg_p, batch, k)[0])(carry)
+                return jax.tree.map(lambda a, b: a - 1e-3 * b, carry, g), 0
+            out, _ = jax.lax.scan(body, p, jax.random.split(jax.random.PRNGKey(3), 2))
+            return out
+
+        out = jax.jit(scanned, donate_argnums=0)(p, batch)
+        ok = all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))
+        check(name, ok)
+    except Exception as e:
+        check(name, False, repr(e)[:200])
+
     name = "two_cell scanned-donated-grad B1024 H512 bf16"
     try:
         cfg_p = cl_vrnn.Config(original_dim=88, intermediate_dim=512,
