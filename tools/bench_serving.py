@@ -66,17 +66,28 @@ def build_engine(family: str, hidden: int, dyn: bool):
                             dynamic_batching=dyn)
 
 
-def drive(engine) -> dict:
+def _reset_stats(engine):
+    """Bench-only: clear the engine's latency window/counters between the
+    solo and concurrent drives of one warmed engine (no public reset API —
+    warmup cost would otherwise be paid twice per scenario)."""
+    engine._latencies = []
+    for k in ("requests", "songs", "gen_seconds", "batches", "batched_songs"):
+        if k in engine.stats:
+            engine.stats[k] = 0 if k != "gen_seconds" else 0.0
+
+
+def drive(engine, clients: int = CLIENTS, requests_per_client: int = None) -> dict:
     errors = []
+    rpc = requests_per_client or REQUESTS_PER_CLIENT
 
     def client(i):
         try:
-            for _ in range(REQUESTS_PER_CLIENT):
+            for _ in range(rpc):
                 engine.generate(n=1, nsteps=NSTEPS, infer_w=True)
         except Exception as e:  # pragma: no cover - surfaced in the row
             errors.append(repr(e)[:200])
 
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(CLIENTS)]
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
     t0 = time.perf_counter()
     for t in threads:
         t.start()
@@ -84,8 +95,8 @@ def drive(engine) -> dict:
         t.join()
     wall = time.perf_counter() - t0
     row = dict(engine.latency_stats())
-    row.update(wall_s=round(wall, 2), clients=CLIENTS,
-               requests=CLIENTS * REQUESTS_PER_CLIENT,
+    row.update(wall_s=round(wall, 2), clients=clients,
+               requests=clients * rpc,
                batches=engine.stats["batches"],
                batched_songs=engine.stats["batched_songs"],
                fused_gen=engine._use_fused_gen)
@@ -110,9 +121,20 @@ def main():
             t0 = time.perf_counter()
             eng.warmup(step_buckets=STEP_BUCKETS)
             warm_s = time.perf_counter() - t0
+            # solo pattern first (one client, serialized requests): the
+            # regime where round-4's coalescing window LOST on p95
+            # (cl_vae@512: 339.5 vs 281.5 ms) and the round-5 solo-warm
+            # bypass must win back
             row = {"family": family, "hidden": hidden, "size": label,
-                   "dynamic_batching": dyn,
-                   "warmup_s": round(warm_s, 1), **drive(eng)}
+                   "dynamic_batching": dyn, "pattern": "solo",
+                   "warmup_s": round(warm_s, 1),
+                   **drive(eng, clients=1, requests_per_client=30)}
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+            _reset_stats(eng)
+            row = {"family": family, "hidden": hidden, "size": label,
+                   "dynamic_batching": dyn, "pattern": "concurrent",
+                   **drive(eng)}
             print(json.dumps(row), flush=True)
             rows.append(row)
 

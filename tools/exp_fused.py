@@ -100,10 +100,51 @@ def check_numerics(B: int, H: int, fusion=None) -> float:
     return worst
 
 
+def _h2048_row(variant: str):
+    """One H2048/B1024 bf16 measurement (child process of the h2048 phase).
+
+    variant: 'xla' | 'unfused' | 'proj' | 'fused'. Pallas variants lift the
+    rk_fits_vmem gate and grant rk_cost + 20 MB of block budget (the h1536
+    recipe); the Mosaic scoped-VMEM limit rises to 110 MB for the probe
+    (physical v5e VMEM is 128 MB) because the full rung's f32 drk
+    accumulator (64 MB) + resident rk_t (33.5 MB) exceed the shipping
+    96 MB limit."""
+    import jax
+
+    from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
+
+    assert jax.default_backend() == "tpu"
+    H, B = 2048, 1024
+    fl = 3 * 2 * B * T * (IN + H) * 4 * H
+    row = {"phase": "h2048", "variant": variant, "config": f"B{B} H{H} bf16"}
+    try:
+        if variant == "xla":
+            sec = time_grad(B, H, backend="xla")
+        else:
+            fu = {"unfused": (False, False, False),
+                  "proj": (True, False, False),
+                  "fused": (True, True, True)}[variant]
+            rk_cost = H * 4 * H * 2
+            pk.set_vmem_budget(block_budget=rk_cost + 20 * 1024 * 1024,
+                               limit=110 * 1024 * 1024)
+            pk.rk_fits_vmem = lambda hidden_dim, bf16=True: True
+            sec = time_grad(B, H, fusion=fu)
+            row["rel_grad_dev"] = round(check_numerics(B, H, fu), 5)
+        row.update(fwdbwd_us=round(sec * 1e6, 1),
+                   tflops=round(fl / sec / 1e12, 2))
+    except Exception as e:
+        row["error"] = repr(e)[:300]
+    print("ROW:" + json.dumps(row), flush=True)
+
+
 def main():
     import jax
 
     from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "_h2048_row":
+        _h2048_row(sys.argv[2])
+        return
 
     assert jax.default_backend() == "tpu", "this A/B must run on a real TPU"
     print(f"backend: {jax.default_backend()}", flush=True)
@@ -235,6 +276,36 @@ def main():
             row = {"phase": "h1536", "backend": "xla", "error": repr(e)[:300]}
         print(json.dumps(row), flush=True)
         rows.append(row)
+
+    # Exploratory: H2048 bf16 (rk 33.5 MB resident) — the shape above the
+    # round-4 ceiling that rk_fits_vmem gates without a number behind it
+    # (VERDICT r4 missing #3). Each variant runs in its OWN SUBPROCESS: an
+    # unprobed shape can hard-crash the TPU worker (the round-4 padded-grid
+    # fault killed same-process sweeps), and a crash must cost one row, not
+    # the phase. Ratios across subprocesses are coarser than same-process
+    # A/Bs (~10% session drift, CLAUDE.md) — fine for a keep/gate call at
+    # the expected ~3x separation, not for <1.2x calls.
+    if "h2048" in phases:
+        import subprocess
+
+        for variant in ["xla", "unfused", "proj", "fused"]:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "_h2048_row", variant],
+                    capture_output=True, text=True, timeout=1800)
+                row = None
+                for ln in out.stdout.splitlines():
+                    if ln.startswith("ROW:"):
+                        row = json.loads(ln[4:])
+                if row is None:
+                    row = {"phase": "h2048", "variant": variant,
+                           "error": (out.stderr or out.stdout)[-400:]}
+            except Exception as e:
+                row = {"phase": "h2048", "variant": variant,
+                       "error": repr(e)[:300]}
+            print(json.dumps(row), flush=True)
+            rows.append(row)
 
     # merge with prior runs: re-running one phase (e.g. `exp_fused.py h1536`)
     # must not clobber the others' committed rows

@@ -137,6 +137,170 @@ def _train_jax(cfg, params, data, batch_size, weights_per_epoch, family, seed=32
     return params
 
 
+def _setup_config(name: str):
+    """Shared data/model/oracle construction for a config; returns
+    (spec, family, cfg, datasets, batch_size, params0, make_oracle)."""
+    spec = CONFIGS[name]
+    family = spec["family"]
+    hidden = spec.get("intermediate_dim", 88)
+    use_x_prev = spec.get("use_x_prev", False)
+    if family == "cl_vae":
+        P = PianoData(spec["data"], batch_size=100, seq_length=1,
+                      return_y_next=use_x_prev,
+                      squeeze_x=True, squeeze_y=True)
+        if spec.get("vanilla"):
+            K = 1
+            for split in ("train", "valid", "test"):
+                setattr(P, f"{split}_song_keys",
+                        np.zeros_like(getattr(P, f"{split}_song_keys")))
+        else:
+            K = int(len(np.unique(P.train_song_keys)))
+        cfg = cl_vae.Config(original_dim=88, intermediate_dim=hidden,
+                            latent_dim=spec["latent_dim"],
+                            intermediate_class_dim=88, n_classes=K,
+                            use_x_prev=use_x_prev)
+        datasets = common.build_cl_vae_datasets(P, K, use_x_prev=use_x_prev)
+        batch_size = 100
+        make_params = lambda seed: cl_vae.init(jax.random.PRNGKey(seed), cfg)
+        make_oracle = lambda p0: RefCLVAE(jax.tree.map(np.asarray, p0), 88,
+                                          hidden, spec["latent_dim"], K,
+                                          use_x_prev=use_x_prev)
+    else:
+        P = PianoData(spec["data"], batch_size=200, seq_length=16,
+                      return_y_next=use_x_prev,  # cl_vrnn/train.py:18
+                      return_y_hist=True, squeeze_x=False, squeeze_y=False)
+        K = int(len(np.unique(P.train_song_keys)))
+        cfg = cl_vrnn.Config(original_dim=88, intermediate_dim=hidden,
+                             latent_dim=spec["latent_dim"], seq_length=16,
+                             n_classes=K, use_x_prev=use_x_prev)
+        datasets = common.build_cl_vrnn_datasets(P, K, use_x_prev=use_x_prev)
+        batch_size = 200
+        make_params = lambda seed: cl_vrnn.init(jax.random.PRNGKey(seed), cfg)
+        make_oracle = lambda p0: RefCLVRNN(jax.tree.map(np.asarray, p0), 88,
+                                           hidden, spec["latent_dim"], 16, K,
+                                           use_x_prev=use_x_prev)
+    return spec, family, cfg, datasets, batch_size, make_params, make_oracle
+
+
+def run_config_paired(name: str, epochs: int, pairs: int, n_iw: int = 64,
+                      out_path: str = "artifacts/oracle_paired_parity.json"):
+    """PAIRED oracle-vs-JAX runs: identical init, identical shuffle order,
+    identical per-step noise on both sides (VERDICT r4 weak #6 / next #8).
+
+    The independent-seed comparison in oracle_nll_parity.json config 5 shows
+    a +0.126 delta on n=3 seeds per side — too few to distinguish seed noise
+    from a systematic offset. Pairing removes the seed axis entirely: each
+    pair starts both implementations from the SAME weights and feeds them
+    the SAME batch sequence and the SAME Gaussian draws (the step-parity
+    test's key->noise convention, tests/test_ref_parity.py:53-63, proven
+    loss-exact per step), so any residual delta is accumulated f32-vs-f64
+    trajectory divergence — expected centered near 0 across pairs, unlike a
+    semantic difference which would reproduce the one-sided offset."""
+    spec, family, cfg, datasets, batch_size, make_params, make_oracle = \
+        _setup_config(name)
+    weights = _epoch_weights(epochs, spec.get("kl_anneal", 0),
+                             spec.get("w_kl_anneal", 0),
+                             spec.get("class_weight", 1.0))
+    train = {k: np.asarray(v) for k, v in datasets["train"].items()}
+    test = {k: v for k, v in datasets["test"].items()
+            if k in ("x", "y", "x_prev")}
+    n = train["x"].shape[0]
+    nb = n // batch_size
+    K1 = cfg.n_classes - 1
+    mod = cl_vae if family == "cl_vae" else cl_vrnn
+
+    import optax
+
+    rows = []
+    for pair in range(pairs):
+        t0 = time.time()
+        params0 = make_params(pair)
+        oracle = make_oracle(params0)
+        opt_ref = RefAdamWN(oracle.parameters())
+
+        opt, _ = init_optimizer("adam-wn")
+        opt_state = opt.init(params0)
+        jp = jax.tree.map(jnp.copy, params0)
+
+        @jax.jit
+        def step(params, opt_state, batch, key, kl_w, class_w, w_kl_w):
+            (loss, _), grads = jax.value_and_grad(
+                mod.loss_and_metrics, has_aux=True)(
+                params, cfg, batch, key, kl_w, class_w, w_kl_w)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rng = np.random.default_rng(1000 + pair)   # shared shuffle order
+        key = jax.random.PRNGKey(1000 + pair)      # shared noise chain
+        for e, (kl_w, class_w, w_kl_w) in enumerate(weights):
+            perm = rng.permutation(n)[: nb * batch_size]
+            batches, noises, keys = [], [], []
+            for i in range(nb):
+                ix = perm[i * batch_size:(i + 1) * batch_size]
+                batches.append({k: np.asarray(v)[ix] for k, v in train.items()})
+                key, k = jax.random.split(key)
+                keys.append(k)
+                # the key->noise convention loss_and_metrics draws internally
+                # (proven loss-exact in tests/test_ref_parity.py)
+                if family == "cl_vae":
+                    kw, kz = jax.random.split(k)
+                    noises.append(
+                        (np.asarray(jax.random.normal(kw, (batch_size, K1))),
+                         np.asarray(jax.random.normal(
+                             kz, (batch_size, cfg.latent_dim)))))
+                else:
+                    kw, kz, _, _ = jax.random.split(k, 4)
+                    noises.append(
+                        (np.asarray(jax.random.normal(kw, (batch_size, K1))),
+                         np.asarray(jax.random.normal(
+                             kz, (batch_size, cfg.seq_length, cfg.latent_dim)))))
+            ref_losses = train_steps(oracle, opt_ref, batches, noises,
+                                     (kl_w, class_w, w_kl_w))
+            jl = []
+            for batch, k in zip(batches, keys):
+                jb = {kk: jnp.asarray(vv) for kk, vv in batch.items()}
+                jp, opt_state, loss = step(jp, opt_state, jb, k,
+                                           jnp.float32(kl_w),
+                                           jnp.float32(class_w),
+                                           jnp.float32(w_kl_w))
+                jl.append(float(loss))
+            print(f"  pair {pair} epoch {e + 1}/{epochs} "
+                  f"oracle={np.mean(ref_losses):.4f} jax={np.mean(jl):.4f}",
+                  flush=True)
+
+        oracle_params = _oracle_params_to_jax(oracle)
+        kwargs = dict(n_samples=n_iw,
+                      batch_size=500 if family == "cl_vae" else 200,
+                      family=family)
+        nll_jax = float(np.mean(iw_nll_dataset(jp, cfg, test,
+                                               jax.random.PRNGKey(5), **kwargs)))
+        nll_ref = float(np.mean(iw_nll_dataset(oracle_params, cfg, test,
+                                               jax.random.PRNGKey(5), **kwargs)))
+        row = {"config": name, "pair": pair, "epochs": epochs,
+               "test_nll_jax": round(nll_jax, 4),
+               "test_nll_reference_oracle": round(nll_ref, 4),
+               "paired_delta": round(nll_jax - nll_ref, 4),
+               "seconds": round(time.time() - t0, 1)}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+        # write incrementally so a partial run still leaves evidence
+        existing = []
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                existing = json.load(f)
+        existing = [r for r in existing
+                    if not (r.get("config") == name and r.get("pair") == pair)]
+        existing += [row]
+        existing.sort(key=lambda r: (str(r.get("config")), r.get("pair", 0)))
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(f"updated {out_path}", flush=True)
+    deltas = [r["paired_delta"] for r in rows]
+    print(f"paired deltas: {deltas}  mean={np.mean(deltas):.4f}", flush=True)
+    return rows
+
+
 def run_config(name: str, epochs: int, n_iw: int = 64):
     spec = CONFIGS[name]
     family = spec["family"]
@@ -223,7 +387,17 @@ def main():
     ap.add_argument("--configs", type=str, default="1,2,3,4,5",
                     help="comma list from {1,2,3,4,5,champion}")
     ap.add_argument("--out", type=str, default="artifacts/oracle_nll_parity.json")
+    ap.add_argument("--paired", type=int, default=0, metavar="N",
+                    help="run N PAIRED runs per config (same init + shuffle "
+                         "+ noise both sides) into "
+                         "artifacts/oracle_paired_parity.json instead of the "
+                         "independent-seed comparison")
     args = ap.parse_args()
+
+    if args.paired:
+        for name in args.configs.split(","):
+            run_config_paired(name, args.epochs, args.paired)
+        return
 
     existing = []
     if os.path.exists(args.out):
