@@ -62,7 +62,8 @@ def train(args):
 
         from ..ops.pallas_lstm import resolve_fusion
 
-        cfg = dataclasses.replace(cfg, fusion=resolve_fusion(None))
+        cfg = dataclasses.replace(
+            cfg, fusion=resolve_fusion(None, hidden_dim=cfg.intermediate_dim))
     if cfg.lstm_backend == "pallas" and cfg.two_cell is None:
         # pin the two-cell decision for the same reason as the fusion triple
         import dataclasses

@@ -152,12 +152,14 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
     every hidden>=512 config probed incl. batch 200 — the backward is a
     second Pallas kernel, see ops/pallas_lstm.py); at the reference's 88-wide
     sizes XLA's pipelined scan wins and is kept. The upper bound is
-    rk_fits_vmem's measured ceiling — H1536 bf16 runs the fused kernels at
-    140.9 TFLOP/s, 3.56x the XLA scan at the same shape
-    (`artifacts/fused_kernel_exp.json`, h1536 phase); above it (H2048+,
-    unprobed) the XLA scan is used. When pallas is picked the kernel-fusion
-    triple is pinned to the adopted policy defaults
-    (ops/pallas_lstm.resolve_fusion) so args.json records what ran.
+    rk_fits_vmem's measured ceiling — H2048 bf16 runs the proj-fused grad
+    step at 144.1 TFLOP/s, 3.27x the XLA scan at the same shape
+    (`artifacts/fused_kernel_exp.json`, h2048 phase; the drk/full rungs do
+    not fit VMEM there, so resolve_fusion downgrades the triple at that
+    size); above it (H2560+, unprobed) the XLA scan is used. When pallas is
+    picked the kernel-fusion triple is pinned to the SIZE-GATED policy
+    defaults (ops/pallas_lstm.resolve_fusion(hidden_dim=...)) so args.json
+    records what ran.
     """
     import dataclasses
 
@@ -180,7 +182,8 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
 
             new = dataclasses.replace(
                 cfg, lstm_backend="pallas", bf16_compute=True,
-                fusion=cfg.fusion or resolve_fusion(None))
+                fusion=cfg.fusion
+                or resolve_fusion(None, hidden_dim=cfg.intermediate_dim))
             if getattr(new, "two_cell", None) is None:
                 # pin the two-cell decision (round 5) so args.json records it
                 new = dataclasses.replace(new, two_cell=bool(should_use(new)))

@@ -77,8 +77,11 @@ from jax.experimental.pallas import tpu as pltpu
 # old time-tiled picks). Fatter time blocks LOSE outright — see
 # _pick_blocks' prefer_bt1 and artifacts/vmem_budget_sweep.json.
 # `set_vmem_budget` lets the sweep tool (tools/exp_vmem_budget.py) measure
-# candidates; defaults hold the measured-best values.
-_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+# candidates; defaults hold the measured-best values. The limit itself is
+# perf-neutral (32 vs 96 MB measured within 0.5%); 110 MB is what the
+# H2048 probe ran under (artifacts/fused_kernel_exp.json h2048 phase:
+# rk_t alone is 33.5 MB there) and leaves 18 MB of physical headroom.
+_VMEM_LIMIT_BYTES = 110 * 1024 * 1024
 _BLOCK_BUDGET_BYTES = 28 * 1024 * 1024
 _MAX_BLOCK_B = 256
 
@@ -133,6 +136,7 @@ def set_fusion(proj: bool | None = None, drk: bool | None = None,
 
 def resolve_fusion(
     fusion: tuple[bool, bool, bool] | None,
+    hidden_dim: int | None = None,
 ) -> tuple[bool, bool, bool]:
     """Normalize a (proj, drk, full) triple; ``None`` -> the policy defaults.
 
@@ -140,10 +144,22 @@ def resolve_fusion(
     streams that only the fp kernel emits) — without proj it is dropped, the
     same "only takes effect on the fp path" semantics set_fusion documents —
     and implies drk on fallback paths, so the triple is canonicalized here
-    once rather than at every gate."""
+    once rather than at every gate.
+
+    With ``hidden_dim`` given, the triple is additionally gated by the
+    measured VMEM ceiling of the drk/full rungs: their backward keeps an
+    f32 [H, 4H] dRk accumulator resident (16·H² bytes) next to the rk_t
+    weight. Measured boundary (artifacts/fused_kernel_exp.json): H1536
+    (37.7 MB accumulator) runs the full rung at 140.9 TFLOP/s; H2048
+    (67 MB) FAILS TO COMPILE even at a 110 MB scoped limit, where the
+    proj-only triple is the measured winner (144.1 TFLOP/s, 3.27x the XLA
+    scan's 44.1). Above the boundary drk/full are therefore dropped —
+    downgrading beats handing Mosaic a program it cannot compile."""
     if fusion is None:
         fusion = (_FUSE_PROJ, _FUSE_DRK, _FUSE_BWD_FULL)
     proj, drk, full = (bool(f) for f in fusion)
+    if hidden_dim is not None and hidden_dim * 4 * hidden_dim * 4 > 38 * 2**20:
+        drk = full = False
     full = full and proj
     return proj, drk or full, full
 
@@ -178,11 +194,13 @@ def _interpret() -> bool:
 def rk_fits_vmem(hidden_dim: int, bf16: bool = True) -> bool:
     """The kernels keep the recurrent weight resident in VMEM. Callers
     (resolve_lstm_backend 'auto') gate on this instead of discovering the
-    ceiling as a Mosaic OOM. Measured upper bound: H1536 bf16 (rk 18.9 MB)
-    runs the fused train step at 140.9 TFLOP/s, 3.56x the XLA scan
-    (artifacts/fused_kernel_exp.json, h1536 phase) — _pick_blocks grants
-    rk_cost + 20 MB of budget so a block config exists up there. H2048
-    bf16 (rk 33.5 MB) is unprobed; the gate stays below it until measured.
+    ceiling as a Mosaic OOM. Measured upper bound: H2048 bf16 (rk 33.5 MB)
+    runs the proj-fused grad step at 144.1 TFLOP/s, 3.27x the XLA scan's
+    44.1 (artifacts/fused_kernel_exp.json, h2048 phase; the drk/full rungs
+    do NOT compile there — resolve_fusion(hidden_dim=...) downgrades them,
+    see its docstring) — _pick_blocks grants rk_cost + 20 MB of budget so a
+    block config exists up there. H2560 bf16 (rk 52.4 MB) is unprobed; the
+    gate stays below it until measured.
 
     The f32 ceiling is SEPARATE and lower (9 MB, the pre-round-4 bound):
     auto always selects bf16 streams at scale, so large-H f32 residency was
@@ -190,7 +208,7 @@ def rk_fits_vmem(hidden_dim: int, bf16: bool = True) -> bool:
     admit explicit `--lstm_backend pallas` f32 runs at H1024 (rk 16.8 MB)
     into an unmeasured regime (advisor round-4 finding)."""
     bytes_per = 2 if bf16 else 4
-    cap_mib = 19 if bf16 else 9
+    cap_mib = 34 if bf16 else 9
     return hidden_dim * 4 * hidden_dim * bytes_per <= cap_mib * 1024 * 1024
 
 
@@ -1542,8 +1560,8 @@ def lstm_sequence_pallas(params, x, h0, c0, compute_dtype=None, fusion=None):
     (:func:`resolve_fusion`); ``None`` takes the :func:`set_fusion` policy
     defaults. It is threaded into the custom_vjp cores as ``nondiff_argnums``
     so two traces with different fusion never alias a jit cache entry."""
-    proj, drk, full = resolve_fusion(fusion)
     H = params["recurrent_kernel"].shape[0]
+    proj, drk, full = resolve_fusion(fusion, hidden_dim=H)
     rk_bf16 = compute_dtype is not None and jnp.dtype(compute_dtype).itemsize == 2
     if not rk_fits_vmem(H, bf16=rk_bf16):
         raise ValueError(

@@ -344,21 +344,31 @@ def test_engine_dp_mesh_generation():
 
 def test_auto_backend_upper_bound():
     """'auto' never selects pallas beyond the VMEM-resident weight limit.
-    The measured ceiling includes H1536 bf16 (fused kernels 3.56x the XLA
-    scan there — artifacts/fused_kernel_exp.json h1536 phase) but not the
-    unprobed H2048 (rk 33.5 MB would be a Mosaic OOM risk, not a speedup)."""
+    The measured ceiling includes H2048 bf16 (proj-fused grad step 3.27x
+    the XLA scan there — artifacts/fused_kernel_exp.json h2048 phase) but
+    not the unprobed H2560 (rk 52.4 MB would be a Mosaic OOM risk, not a
+    speedup). At H2048 the drk/full rungs do not fit VMEM (the h2048 'fused'
+    row is a compile failure), so the size-aware resolve_fusion downgrades
+    the policy triple to proj-only there."""
     import jax as _jax
 
     from classifying_vae_lstm_tpu.cli.common import resolve_lstm_backend
     from classifying_vae_lstm_tpu.models import cl_vrnn
-    from classifying_vae_lstm_tpu.ops.pallas_lstm import rk_fits_vmem
+    from classifying_vae_lstm_tpu.ops.pallas_lstm import (resolve_fusion,
+                                                          rk_fits_vmem)
 
     assert rk_fits_vmem(1024, bf16=True)
     assert rk_fits_vmem(1536, bf16=True)
     assert not rk_fits_vmem(1536, bf16=False)  # f32 rk is 2x: still gated
-    assert not rk_fits_vmem(2048, bf16=True)
-    big = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=2048), "auto")
+    assert rk_fits_vmem(2048, bf16=True)  # measured round 5 (h2048 phase)
+    assert not rk_fits_vmem(2048, bf16=False)
+    assert not rk_fits_vmem(2560, bf16=True)
+    big = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=2560), "auto")
     assert big.lstm_backend == "xla"  # even on TPU this must hold; CPU too
+    # size gate on the fusion triple: full through H1536, proj-only at H2048
+    assert resolve_fusion((True, True, True), hidden_dim=1536) == (True, True, True)
+    assert resolve_fusion((True, True, True), hidden_dim=2048) == (True, False, False)
+    assert resolve_fusion(None, hidden_dim=2048)[1:] == (False, False)
 
 
 def test_gen_backend_auto_size_gate(monkeypatch):

@@ -232,10 +232,11 @@ def main():
                 print(json.dumps(row), flush=True)
                 rows.append(row)
 
-    # Exploratory: does the pallas train path win at H1536 bf16 now that the
-    # scoped-VMEM limit is 96 MB? rk_fits_vmem still caps shipping at H1024
-    # (the 16 MB-era budget); this phase lifts the gate and the block budget
-    # locally to find out whether the cap should move. Not run by default.
+    # Exploratory (round 4, since adopted): does the pallas train path win at
+    # H1536 bf16 with a lifted scoped-VMEM limit? This phase lifts the gate
+    # and the block budget locally to find out whether the cap should move
+    # (it did — rk_fits_vmem now admits H1536, and the round-5 h2048 phase
+    # moved it again). Not run by default.
     if "h1536" in phases:
         import jax.numpy as jnp
 

@@ -124,7 +124,7 @@ def main():
                 row["error"] = repr(e)[:200]
             print(json.dumps(row), flush=True)
             rows.append(row)
-    pk.set_vmem_budget(block_budget=28 * MB, limit=96 * MB)  # restore defaults
+    pk.set_vmem_budget(block_budget=28 * MB, limit=110 * MB)  # restore defaults
 
     # Forced-block A/B at the reference batch size: the old 14 MB budget
     # picked multi-step time blocks (interleave ON) at B200; the bt=1 policy

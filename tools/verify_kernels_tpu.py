@@ -56,6 +56,10 @@ def main():
         # (64, 4) blocks: the INTERLEAVED fwd AND bwd kernels (bt >= 2) —
         # the small-batch regime where the half-block pipeline engages
         (64, 16, 98, 512, jnp.bfloat16, 0.08),
+        # round-5 ceiling: rk 33.5 MB resident; resolve_fusion's size gate
+        # must downgrade the triple to proj-only here (the drk/full rungs'
+        # f32 accumulator does not compile at this size — h2048 phase)
+        (1024, 16, 98, 2048, jnp.bfloat16, 0.08),
     ]:
         p = init_lstm(jax.random.PRNGKey(0), IN, H)
         x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
@@ -94,7 +98,8 @@ def main():
     # adopted full-fusion defaults this compiles the fully-fused backward at
     # a padded grid inside the scan — the regime of the (since-vanished)
     # round-3 worker fault, kept here as the canary for its return
-    for B, IN, H in [(1024, 98, 512), (1024, 98, 1024), (500, 98, 512)]:
+    for B, IN, H in [(1024, 98, 512), (1024, 98, 1024), (500, 98, 512),
+                     (1024, 98, 2048)]:
         name = f"lstm scanned-grad B{B} H{H} bf16"
         try:
             p = init_lstm(jax.random.PRNGKey(0), IN, H)
