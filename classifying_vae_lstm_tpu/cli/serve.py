@@ -27,7 +27,7 @@ import numpy as np
 
 from ..data import PianoData
 from ..data.midi import MidiWriter
-from ..serving import GenerationEngine
+from ..serving import DynamicBatcher, GenerationEngine
 from . import common
 
 
@@ -62,7 +62,8 @@ def build_engine(args) -> tuple[GenerationEngine, dict]:
         mesh = make_mesh(n_data=args.dp, n_model=1)
     engine = GenerationEngine(params, cfg, seeds, P.test_song_keys, mesh=mesh,
                               dynamic_batching=getattr(args, 'dynamic_batching', False),
-                              batch_window_ms=getattr(args, 'batch_window_ms', 3.0))
+                              batch_window_ms=getattr(args, 'batch_window_ms',
+                                                       DynamicBatcher.DEFAULT_WINDOW_MS))
     key_map = dict(P.key_map)
     return engine, key_map
 
@@ -210,8 +211,11 @@ def build_parser():
     parser.add_argument("--dynamic_batching", action="store_true",
                         help="coalesce concurrent /generate requests into one "
                              "bucketed device call (bounded wait window)")
-    parser.add_argument("--batch_window_ms", type=float, default=3.0,
-                        help="max queueing wait for request coalescing (ms)")
+    parser.add_argument("--batch_window_ms", type=float,
+                        default=DynamicBatcher.DEFAULT_WINDOW_MS,
+                        help="max queueing wait for request coalescing (ms); "
+                             "default sized to the remote-TPU dispatch stagger "
+                             "(solo traffic bypasses the window entirely)")
     parser.add_argument("--warmup", type=str, default="full",
                         choices=["full", "background", "off"],
                         help="pre-compile the bucket grid: 'full' blocks until every "

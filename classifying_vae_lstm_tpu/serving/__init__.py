@@ -1,3 +1,3 @@
-from .engine import GenerationEngine
+from .engine import DynamicBatcher, GenerationEngine
 
-__all__ = ["GenerationEngine"]
+__all__ = ["DynamicBatcher", "GenerationEngine"]

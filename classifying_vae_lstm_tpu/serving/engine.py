@@ -39,15 +39,16 @@ def _bucket(n: int, buckets) -> int:
 class _PendingRequest:
     """One caller's songs waiting to be coalesced into a device batch."""
 
-    __slots__ = ("seeds", "ws", "t", "event", "result", "error")
+    __slots__ = ("seeds", "ws", "t", "event", "result", "error", "arrival")
 
     def __init__(self, seeds, ws, t):
         self.seeds = seeds  # np [k, ...]
-        self.ws = ws        # np [k, K]
+        self.ws = ws        # np [k, K], or None -> infer w in the batch
         self.t = t          # step bucket
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.arrival = time.perf_counter()  # anchors the coalescing deadline
 
 
 class DynamicBatcher:
@@ -65,7 +66,16 @@ class DynamicBatcher:
     same one ``warmup`` precompiles).
     """
 
-    def __init__(self, engine: "GenerationEngine", window_ms: float = 3.0,
+    # Default coalescing window, in ms. Sized to the remote-TPU deployment's
+    # dispatch/transfer stagger (~27 ms tunnel RTT): re-firing clients of a
+    # concurrent burst arrive spread over tens of ms, and a 3 ms window
+    # splintered them into ~3-song groups (round-5 TPU bench). Solo traffic
+    # never pays this window — the engine's solo-warm bypass short-circuits
+    # the batcher when the queue is empty.
+    DEFAULT_WINDOW_MS = 25.0
+
+    def __init__(self, engine: "GenerationEngine",
+                 window_ms: float = DEFAULT_WINDOW_MS,
                  max_songs: int | None = None):
         self.engine = engine
         self.window_s = window_ms / 1e3
@@ -74,19 +84,38 @@ class DynamicBatcher:
         self._cv = threading.Condition()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+        # delivery pipeline: the dispatch worker must NOT host-sync between
+        # groups (a per-group fetch puts a tunnel round-trip between device
+        # programs), but handing each caller a lazy device-array SLICE is
+        # worse on a remote deployment — every out[i:i+k] is its own device
+        # dispatch (and each new (i, k) signature a mini-compile) in the
+        # caller's request path. So the worker passes the WHOLE batch output
+        # to this thread, which fetches it in ONE transfer and splits numpy
+        # rows per caller, while the worker is already coalescing the next
+        # group: dispatch and delivery pipeline, one transfer per group.
+        self._delivery: list = []
+        self._delivery_cv = threading.Condition()
+        self._deliverer = threading.Thread(target=self._deliver_loop,
+                                           daemon=True)
+        self._deliverer.start()
 
-    def submit(self, seeds: np.ndarray, ws: np.ndarray, t: int) -> np.ndarray:
-        """Block until the request's songs are generated; returns [k, t, D]."""
-        req = _PendingRequest(np.asarray(seeds), np.asarray(ws), t)
+    def submit(self, seeds: np.ndarray, ws: np.ndarray | None,
+               t: int) -> np.ndarray:
+        """Block until the request's songs are generated; returns [k, t, D].
+
+        ``ws=None`` defers w-inference into the coalesced batch: ONE jitted
+        ``_infer_ws`` dispatch per GROUP instead of one per request — on the
+        remote-TPU deployment a per-request inference put a tunnel round-trip
+        in every caller's path before it even reached the queue."""
+        req = _PendingRequest(np.asarray(seeds),
+                              None if ws is None else np.asarray(ws), t)
         with self._cv:
             self._queue.append(req)
             self._cv.notify()
         req.event.wait()
         if req.error is not None:
             raise req.error
-        # result rows are a (possibly still-computing) device array slice;
-        # the host fetch — and therefore the wait — happens per caller here
-        return np.asarray(req.result)
+        return req.result  # numpy rows, already fetched by the deliverer
 
     def idle(self) -> bool:
         """True when no request is queued — the engine's solo-warm BYPASS
@@ -99,19 +128,32 @@ class DynamicBatcher:
 
     def _take_group(self) -> list[_PendingRequest]:
         """Oldest request + every same-step-bucket request that arrives within
-        the window (or until ``max_songs`` rows are gathered)."""
+        the window (or until ``max_songs`` rows are gathered).
+
+        The deadline is anchored at the OLDEST request's arrival, not at the
+        worker's loop entry: the round-5 TPU bench showed the sync-free
+        worker re-entering fast and re-waiting a fresh window over a trickle
+        of staggered re-arrivals, splintering a 16-client burst into ~3-song
+        groups (56 batches / 160 requests). Arrival anchoring both caps the
+        added latency at exactly ``window_ms`` per request and lets a group
+        that already aged past the window dispatch immediately."""
         with self._cv:
             while not self._queue:
                 self._cv.wait()
             t = self._queue[0].t
-            deadline = time.perf_counter() + self.window_s
+            infer = self._queue[0].ws is None
+            deadline = self._queue[0].arrival + self.window_s
             while True:
                 group, songs = [], 0
                 for r in self._queue:
                     # never overshoot max_songs: a later request only joins if
                     # it FITS (the first always fits — generate() chunks
-                    # oversized requests to the max bucket)
-                    if r.t == t and songs + len(r.seeds) <= self.max_songs:
+                    # oversized requests to the max bucket). Groups are
+                    # homogeneous in (step bucket, w-inference): inferred-w
+                    # groups run ONE batched _infer_ws, explicit-w groups
+                    # concatenate caller ws — never merged.
+                    if (r.t == t and (r.ws is None) == infer
+                            and songs + len(r.seeds) <= self.max_songs):
                         group.append(r)
                         songs += len(r.seeds)
                 now = time.perf_counter()
@@ -131,35 +173,60 @@ class DynamicBatcher:
                     r.error = e
                     r.event.set()
 
+    def _deliver_loop(self):
+        while True:
+            with self._delivery_cv:
+                while not self._delivery:
+                    self._delivery_cv.wait()
+                out, group = self._delivery.pop(0)
+            try:
+                host = np.asarray(out)  # ONE transfer for the whole batch
+            except Exception as e:  # pragma: no cover - device-side failure
+                for r in group:
+                    r.error = e
+                    r.event.set()
+                continue
+            i = 0
+            for r in group:
+                k = len(r.seeds)
+                r.result = host[i : i + k]
+                i += k
+                r.event.set()
+
     def _run_group(self, group: list[_PendingRequest]):
         eng = self.engine
         t = group[0].t
         seeds = np.concatenate([r.seeds for r in group], axis=0)
-        ws = np.concatenate([r.ws for r in group], axis=0)
         n = len(seeds)
         b = _bucket(n, eng.BATCH_BUCKETS)
         pad = b - n
         assert pad >= 0, "oversized group — generate() must chunk to the max bucket"
         if pad:
             seeds = np.concatenate([seeds, np.repeat(seeds[:1], pad, axis=0)])
-            ws = np.concatenate([ws, np.repeat(ws[:1], pad, axis=0)])
+        seeds_dev = jnp.asarray(seeds)
+        if group[0].ws is None:
+            # inferred-w group (homogeneous, see _take_group): ONE batched
+            # jitted w-inference for the whole coalesced batch, device-side —
+            # no per-request dispatch, no host round-trip
+            ws_dev = eng._infer_ws(seeds_dev, b)
+        else:
+            ws = np.concatenate([r.ws for r in group], axis=0)
+            if pad:
+                ws = np.concatenate([ws, np.repeat(ws[:1], pad, axis=0)])
+            ws_dev = jnp.asarray(ws)
         eng._mark_bucket(b, t)
-        # DISPATCH ONLY — do not host-sync in the worker. The jitted call
-        # returns a future-like device array; each caller fetches its own rows
-        # (np.asarray blocks there). The worker immediately coalesces the next
-        # group, so consecutive groups pipeline on the device exactly like the
-        # serialized path's per-thread dispatch — on a remote-TPU deployment a
-        # per-group block_until_ready put one tunnel round-trip BETWEEN groups.
-        out = eng._run(jnp.asarray(seeds), t, jnp.asarray(ws))
+        # DISPATCH ONLY — do not host-sync in the worker (a per-group fetch
+        # puts a tunnel round-trip between device programs). The jitted call
+        # returns a future-like device array that the delivery thread fetches
+        # whole and splits per caller; the worker immediately coalesces the
+        # next group, so consecutive groups pipeline on the device.
+        out = eng._run(seeds_dev, t, ws_dev)
         with eng._lock:
             eng.stats["batches"] += 1
             eng.stats["batched_songs"] += n
-        i = 0
-        for r in group:
-            k = len(r.seeds)
-            r.result = out[i : i + k]
-            i += k
-            r.event.set()
+        with self._delivery_cv:
+            self._delivery.append((out, group))
+            self._delivery_cv.notify()
 
 
 class GenerationEngine:
@@ -175,7 +242,8 @@ class GenerationEngine:
 
     def __init__(self, params, cfg, seed_bank: np.ndarray,
                  seed_keys: np.ndarray | None = None, key=None, mesh=None,
-                 dynamic_batching: bool = False, batch_window_ms: float = 3.0):
+                 dynamic_batching: bool = False,
+                 batch_window_ms: float = DynamicBatcher.DEFAULT_WINDOW_MS):
         """seed_bank: [N, Tseed, D] (cl_vrnn) or [N, D] (cl_vae) test-set
         seeds; seed_keys: optional integer key label per seed (for
         key-conditioned requests and true-key conditioning); mesh: optional
@@ -424,36 +492,45 @@ class GenerationEngine:
         else:
             seed_indices = np.resize(np.asarray(seed_indices), m)
 
+        # the pre-dispatch path stays NUMPY: on the remote-TPU deployment an
+        # eager jnp op here is a per-op dispatch (+ possible per-op compile)
+        # in every caller's path; the jitted _run/_infer_ws calls transfer
+        # their operands themselves, once, at dispatch
         if user_seeds is not None:
-            seeds = jnp.asarray(np.resize(user_seeds, (m,) + user_seeds.shape[1:]))
+            seeds = np.resize(user_seeds, (m,) + user_seeds.shape[1:])
         else:
-            seeds = jnp.asarray(self.seed_bank[seed_indices])
+            seeds = self.seed_bank[seed_indices]
+        eye = np.eye(self.cfg.n_classes, dtype=np.float32)
         if user_seeds is not None and key_name_index is not None:
             # user seed + requested key: condition on the named key directly
-            ws = jnp.broadcast_to(
-                jax.nn.one_hot(key_name_index, self.cfg.n_classes),
-                (m, self.cfg.n_classes))
+            ws = np.broadcast_to(eye[key_name_index],
+                                 (m, self.cfg.n_classes))
         elif infer_w or user_seeds is not None:
-            if self.family == "cl_vae" and batcher is None:
+            if batcher is not None:
+                # batcher path: defer w-inference into the coalesced group —
+                # _run_group runs ONE batched jitted _infer_ws per group
+                # (groups are homogeneous in needs-infer), removing a
+                # per-request device dispatch from the caller's path
+                ws = None
+            elif self.family == "cl_vae":
                 # solo path: the jitted generate program infers w itself
                 # (w_vals=None) — ONE device dispatch per request; warmup
                 # compiles this entry per bucket too
                 ws = None
             else:
-                # the batcher needs one coalesced ws array (and cl_vrnn's
-                # sampler always takes w explicitly): jitted + batch-bucketed
-                # so warmup covers every request shape — for cl_vae the value
-                # equals what the sampler computes for w_val=None, the
-                # deterministic mean-logit point
+                # cl_vrnn's solo sampler takes w explicitly: jitted +
+                # batch-bucketed so warmup covers every request shape
                 ws = self._infer_ws(seeds, m)
         else:
             if self.seed_keys is None:
                 raise ValueError("true-key conditioning needs seed_keys")
-            ws = jax.nn.one_hot(jnp.asarray(self.seed_keys[seed_indices]), self.cfg.n_classes)
+            ws = eye[np.asarray(self.seed_keys)[seed_indices]]
 
         try:
             if batcher is not None:
-                out = batcher.submit(np.asarray(seeds), np.asarray(ws), t)[:n, :nsteps]
+                out = batcher.submit(
+                    np.asarray(seeds),
+                    None if ws is None else np.asarray(ws), t)[:n, :nsteps]
             else:
                 self._mark_bucket(b, t)
                 out = self._run(seeds, t, ws)
