@@ -100,23 +100,24 @@ def check_numerics(B: int, H: int, fusion=None) -> float:
     return worst
 
 
-def _h2048_row(variant: str):
-    """One H2048/B1024 bf16 measurement (child process of the h2048 phase).
+def _probe_row(variant: str, H: int = 2048):
+    """One H{H}/B1024 bf16 measurement (child process of the h2048/h2560
+    phases; invoked as `exp_fused.py _probe_row <variant> [H]`).
 
     variant: 'xla' | 'unfused' | 'proj' | 'fused'. Pallas variants lift the
     rk_fits_vmem gate and grant rk_cost + 20 MB of block budget (the h1536
     recipe); the Mosaic scoped-VMEM limit rises to 110 MB for the probe
     (physical v5e VMEM is 128 MB) because the full rung's f32 drk
-    accumulator (64 MB) + resident rk_t (33.5 MB) exceed the shipping
-    96 MB limit."""
+    accumulator (16·H² B) + resident rk_t (8·H² B) exceed the shipping
+    96 MB limit at these sizes."""
     import jax
 
     from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
 
     assert jax.default_backend() == "tpu"
-    H, B = 2048, 1024
+    B = 1024
     fl = 3 * 2 * B * T * (IN + H) * 4 * H
-    row = {"phase": "h2048", "variant": variant, "config": f"B{B} H{H} bf16"}
+    row = {"phase": f"h{H}", "variant": variant, "config": f"B{B} H{H} bf16"}
     try:
         if variant == "xla":
             sec = time_grad(B, H, backend="xla")
@@ -142,8 +143,9 @@ def main():
 
     from classifying_vae_lstm_tpu.ops import pallas_lstm as pk
 
-    if len(sys.argv) >= 3 and sys.argv[1] == "_h2048_row":
-        _h2048_row(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] == "_probe_row":
+        _probe_row(sys.argv[2],
+                   int(sys.argv[3]) if len(sys.argv) >= 4 else 2048)
         return
 
     assert jax.default_backend() == "tpu", "this A/B must run on a real TPU"
@@ -286,24 +288,31 @@ def main():
     # the phase. Ratios across subprocesses are coarser than same-process
     # A/Bs (~10% session drift, CLAUDE.md) — fine for a keep/gate call at
     # the expected ~3x separation, not for <1.2x calls.
-    if "h2048" in phases:
+    # h2560: one step further up (rk 52.4 MB bf16 resident; the f32 dRk
+    # accumulator is 105 MB so only xla/unfused/proj are candidates there).
+    probe_phases = [(ph, int(ph[1:])) for ph in sorted(phases)
+                    if ph.startswith("h") and ph[1:].isdigit()
+                    and ph != "h1536"]
+    for phase_name, H in probe_phases:
         import subprocess
 
-        for variant in ["xla", "unfused", "proj", "fused"]:
+        variants = (["xla", "unfused", "proj", "fused"] if H <= 2048
+                    else ["xla", "unfused", "proj"])
+        for variant in variants:
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
-                     "_h2048_row", variant],
+                     "_probe_row", variant, str(H)],
                     capture_output=True, text=True, timeout=1800)
                 row = None
                 for ln in out.stdout.splitlines():
                     if ln.startswith("ROW:"):
                         row = json.loads(ln[4:])
                 if row is None:
-                    row = {"phase": "h2048", "variant": variant,
+                    row = {"phase": phase_name, "variant": variant,
                            "error": (out.stderr or out.stdout)[-400:]}
             except Exception as e:
-                row = {"phase": "h2048", "variant": variant,
+                row = {"phase": phase_name, "variant": variant,
                        "error": repr(e)[:300]}
             print(json.dumps(row), flush=True)
             rows.append(row)
