@@ -152,11 +152,12 @@ def resolve_lstm_backend(cfg, choice: str = "auto"):
     every hidden>=512 config probed incl. batch 200 — the backward is a
     second Pallas kernel, see ops/pallas_lstm.py); at the reference's 88-wide
     sizes XLA's pipelined scan wins and is kept. The upper bound is
-    rk_fits_vmem's measured ceiling — H2048 bf16 runs the proj-fused grad
-    step at 144.1 TFLOP/s, 3.27x the XLA scan at the same shape
-    (`artifacts/fused_kernel_exp.json`, h2048 phase; the drk/full rungs do
-    not fit VMEM there, so resolve_fusion downgrades the triple at that
-    size); above it (H2560+, unprobed) the XLA scan is used. When pallas is
+    rk_fits_vmem's measured ceiling — H2560 bf16 (rk 50 MiB resident) runs
+    the proj-fused grad step at 149.0 TFLOP/s, 2.96x the XLA scan at the
+    same shape (`artifacts/fused_kernel_exp.json`, h2560 phase; H2048:
+    144.1 vs 44.1 — the drk/full rungs do not fit VMEM at either size, so
+    resolve_fusion downgrades the triple up there); above it (H3072+,
+    unprobed) the XLA scan is used. When pallas is
     picked the kernel-fusion triple is pinned to the SIZE-GATED policy
     defaults (ops/pallas_lstm.resolve_fusion(hidden_dim=...)) so args.json
     records what ran.

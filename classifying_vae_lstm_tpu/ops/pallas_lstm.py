@@ -194,13 +194,14 @@ def _interpret() -> bool:
 def rk_fits_vmem(hidden_dim: int, bf16: bool = True) -> bool:
     """The kernels keep the recurrent weight resident in VMEM. Callers
     (resolve_lstm_backend 'auto') gate on this instead of discovering the
-    ceiling as a Mosaic OOM. Measured upper bound: H2048 bf16 (rk 33.5 MB)
-    runs the proj-fused grad step at 144.1 TFLOP/s, 3.27x the XLA scan's
-    44.1 (artifacts/fused_kernel_exp.json, h2048 phase; the drk/full rungs
-    do NOT compile there — resolve_fusion(hidden_dim=...) downgrades them,
-    see its docstring) — _pick_blocks grants rk_cost + 20 MB of budget so a
-    block config exists up there. H2560 bf16 (rk 52.4 MB) is unprobed; the
-    gate stays below it until measured.
+    ceiling as a Mosaic OOM. Measured upper bound: H2560 bf16 (rk 52.4 MB
+    = exactly 50 MiB resident) runs the proj-fused grad step at
+    149.0 TFLOP/s, 2.96x the XLA scan's 50.3 (h2560 phase; H2048: 144.1 vs
+    44.1, 3.27x — artifacts/fused_kernel_exp.json; the drk/full rungs do
+    NOT compile at either size — resolve_fusion(hidden_dim=...) downgrades
+    them, see its docstring) — _pick_blocks grants rk_cost + 20 MB of
+    budget so a block config exists up there. H3072 bf16 (rk 75.5 MB) is
+    unprobed; the gate stays below it until measured.
 
     The f32 ceiling is SEPARATE and lower (9 MB, the pre-round-4 bound):
     auto always selects bf16 streams at scale, so large-H f32 residency was
@@ -208,7 +209,7 @@ def rk_fits_vmem(hidden_dim: int, bf16: bool = True) -> bool:
     admit explicit `--lstm_backend pallas` f32 runs at H1024 (rk 16.8 MB)
     into an unmeasured regime (advisor round-4 finding)."""
     bytes_per = 2 if bf16 else 4
-    cap_mib = 34 if bf16 else 9
+    cap_mib = 50 if bf16 else 9
     return hidden_dim * 4 * hidden_dim * bytes_per <= cap_mib * 1024 * 1024
 
 

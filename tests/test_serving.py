@@ -362,12 +362,15 @@ def test_auto_backend_upper_bound():
     assert not rk_fits_vmem(1536, bf16=False)  # f32 rk is 2x: still gated
     assert rk_fits_vmem(2048, bf16=True)  # measured round 5 (h2048 phase)
     assert not rk_fits_vmem(2048, bf16=False)
-    assert not rk_fits_vmem(2560, bf16=True)
-    big = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=2560), "auto")
+    assert rk_fits_vmem(2560, bf16=True)  # measured round 5 (h2560 phase)
+    assert not rk_fits_vmem(2560, bf16=False)
+    assert not rk_fits_vmem(3072, bf16=True)  # rk 72 MiB: unprobed
+    big = resolve_lstm_backend(cl_vrnn.Config(intermediate_dim=3072), "auto")
     assert big.lstm_backend == "xla"  # even on TPU this must hold; CPU too
     # size gate on the fusion triple: full through H1536, proj-only at H2048
     assert resolve_fusion((True, True, True), hidden_dim=1536) == (True, True, True)
     assert resolve_fusion((True, True, True), hidden_dim=2048) == (True, False, False)
+    assert resolve_fusion((True, True, True), hidden_dim=2560) == (True, False, False)
     assert resolve_fusion(None, hidden_dim=2048)[1:] == (False, False)
 
 

@@ -183,7 +183,8 @@ def _setup_config(name: str):
 
 
 def run_config_paired(name: str, epochs: int, pairs: int, n_iw: int = 64,
-                      out_path: str = "artifacts/oracle_paired_parity.json"):
+                      out_path: str = "artifacts/oracle_paired_parity.json",
+                      pair_start: int = 0):
     """PAIRED oracle-vs-JAX runs: identical init, identical shuffle order,
     identical per-step noise on both sides (VERDICT r4 weak #6 / next #8).
 
@@ -212,7 +213,7 @@ def run_config_paired(name: str, epochs: int, pairs: int, n_iw: int = 64,
     import optax
 
     rows = []
-    for pair in range(pairs):
+    for pair in range(pair_start, pair_start + pairs):
         t0 = time.time()
         params0 = make_params(pair)
         oracle = make_oracle(params0)
@@ -392,11 +393,16 @@ def main():
                          "+ noise both sides) into "
                          "artifacts/oracle_paired_parity.json instead of the "
                          "independent-seed comparison")
+    ap.add_argument("--pair_start", type=int, default=0,
+                    help="first pair index for --paired (pair index seeds "
+                         "init/shuffle/noise, so committed pairs need not "
+                         "be re-run to extend the sample)")
     args = ap.parse_args()
 
     if args.paired:
         for name in args.configs.split(","):
-            run_config_paired(name, args.epochs, args.paired)
+            run_config_paired(name, args.epochs, args.paired,
+                              pair_start=args.pair_start)
         return
 
     existing = []

@@ -60,6 +60,9 @@ def main():
         # must downgrade the triple to proj-only here (the drk/full rungs'
         # f32 accumulator does not compile at this size — h2048 phase)
         (1024, 16, 98, 2048, jnp.bfloat16, 0.08),
+        # round-5 measured ceiling: rk exactly 50 MiB resident (h2560
+        # phase: proj 149.0 TF, 2.96x XLA) — the largest shape auto admits
+        (1024, 16, 98, 2560, jnp.bfloat16, 0.08),
     ]:
         p = init_lstm(jax.random.PRNGKey(0), IN, H)
         x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
@@ -99,7 +102,7 @@ def main():
     # a padded grid inside the scan — the regime of the (since-vanished)
     # round-3 worker fault, kept here as the canary for its return
     for B, IN, H in [(1024, 98, 512), (1024, 98, 1024), (500, 98, 512),
-                     (1024, 98, 2048)]:
+                     (1024, 98, 2048), (1024, 98, 2560)]:
         name = f"lstm scanned-grad B{B} H{H} bf16"
         try:
             p = init_lstm(jax.random.PRNGKey(0), IN, H)
